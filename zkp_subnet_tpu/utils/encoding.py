@@ -1,0 +1,215 @@
+"""Canonical serialization matching the reference wire format.
+
+Derived from the reference golden vectors (reference: tests/test_miner.py:33-55):
+scalars are 32-byte **big-endian** integers, base64-encoded with padding
+stripped (43-char strings). Points follow the ZCash BLS12-381 serialization:
+G1 compressed = 48 bytes / uncompressed = 96 bytes, with flag bits in the top
+three bits of the first byte; the ``--uncompressed`` flag of the reference
+prover (reference: utils/config.py:131-136) selects between the two.
+"""
+
+from __future__ import annotations
+
+import base64
+from typing import List, Optional, Sequence, Tuple
+
+from . import oracle as o
+
+# ---------------------------------------------------------------------------
+# Scalars (Fr)
+# ---------------------------------------------------------------------------
+
+
+def b64_encode(raw: bytes) -> str:
+    return base64.b64encode(raw).decode("ascii").rstrip("=")
+
+
+def b64_decode(s: str) -> bytes:
+    return base64.b64decode(s + "=" * (-len(s) % 4))
+
+
+def fr_to_bytes(x: int) -> bytes:
+    return (x % o.R).to_bytes(32, "big")
+
+
+def fr_from_bytes(raw: bytes) -> int:
+    x = int.from_bytes(raw, "big")
+    if x >= o.R:
+        raise ValueError("scalar out of range")
+    return x
+
+
+def fr_to_b64(x: int) -> str:
+    return b64_encode(fr_to_bytes(x))
+
+
+def fr_from_b64(s: str) -> int:
+    return fr_from_bytes(b64_decode(s))
+
+
+def poly_to_b64(coeffs: Sequence[int]) -> List[str]:
+    return [fr_to_b64(c) for c in coeffs]
+
+
+def poly_from_b64(strs: Sequence[str]) -> List[int]:
+    return [fr_from_b64(s) for s in strs]
+
+
+# ---------------------------------------------------------------------------
+# G1 points (ZCash format)
+# ---------------------------------------------------------------------------
+
+_COMPRESSED = 1 << 7
+_INFINITY = 1 << 6
+_Y_SIGN = 1 << 5
+
+
+def _fq_to_bytes(x: int) -> bytes:
+    return x.to_bytes(48, "big")
+
+
+def _y_is_largest(y: int) -> bool:
+    return y > o.Q - y
+
+
+def g1_to_bytes(p, compressed: bool = True) -> bytes:
+    """Serialize a Jacobian G1 point (ZCash rules)."""
+    aff = o.G1.to_affine(p)
+    if aff is None:
+        flags = _INFINITY | (_COMPRESSED if compressed else 0)
+        n = 48 if compressed else 96
+        out = bytearray(n)
+        out[0] = flags
+        return bytes(out)
+    x, y = aff
+    if compressed:
+        out = bytearray(_fq_to_bytes(x))
+        out[0] |= _COMPRESSED
+        if _y_is_largest(y):
+            out[0] |= _Y_SIGN
+        return bytes(out)
+    out = bytearray(_fq_to_bytes(x) + _fq_to_bytes(y))
+    return bytes(out)
+
+
+def g1_from_bytes(raw: bytes):
+    """Deserialize to a Jacobian G1 point; validates curve membership."""
+    flags = raw[0]
+    compressed = bool(flags & _COMPRESSED)
+    if compressed != (len(raw) == 48):
+        raise ValueError("length/compression mismatch")
+    if flags & _INFINITY:
+        return o.G1.infinity()
+    if compressed:
+        x = int.from_bytes(bytes([flags & 0x1F]) + raw[1:], "big")
+        if x >= o.Q:
+            raise ValueError("x out of range")
+        y = o.fq_sqrt((x * x % o.Q * x + o.G1_B) % o.Q)
+        if y is None:
+            raise ValueError("not on curve")
+        if _y_is_largest(y) != bool(flags & _Y_SIGN):
+            y = o.Q - y
+        return o.G1.from_affine((x, y))
+    if len(raw) != 96:
+        raise ValueError("bad length")
+    x = int.from_bytes(bytes([flags & 0x1F]) + raw[1:48], "big")
+    y = int.from_bytes(raw[48:], "big")
+    if x >= o.Q or y >= o.Q:
+        raise ValueError("coordinate out of range")
+    p = o.G1.from_affine((x, y))
+    if not o.G1.on_curve(p):
+        raise ValueError("not on curve")
+    return p
+
+
+def g1_to_b64(p, compressed: bool = True) -> str:
+    return b64_encode(g1_to_bytes(p, compressed))
+
+
+def g1_from_b64(s: str):
+    return g1_from_bytes(b64_decode(s))
+
+
+# ---------------------------------------------------------------------------
+# G2 points (ZCash format: c1 limb serialized before c0)
+# ---------------------------------------------------------------------------
+
+
+def g2_to_bytes(p, compressed: bool = True) -> bytes:
+    aff = o.G2.to_affine(p)
+    if aff is None:
+        n = 96 if compressed else 192
+        out = bytearray(n)
+        out[0] = _INFINITY | (_COMPRESSED if compressed else 0)
+        return bytes(out)
+    (x0, x1), (y0, y1) = aff
+    if compressed:
+        out = bytearray(_fq_to_bytes(x1) + _fq_to_bytes(x0))
+        out[0] |= _COMPRESSED
+        if (y1, y0) > ((o.Q - y1) % o.Q, (o.Q - y0) % o.Q):
+            out[0] |= _Y_SIGN
+        return bytes(out)
+    return bytes(_fq_to_bytes(x1) + _fq_to_bytes(x0) +
+                 _fq_to_bytes(y1) + _fq_to_bytes(y0))
+
+
+def g2_from_bytes(raw: bytes):
+    flags = raw[0]
+    compressed = bool(flags & _COMPRESSED)
+    if compressed != (len(raw) == 96):
+        raise ValueError("length/compression mismatch")
+    if flags & _INFINITY:
+        return o.G2.infinity()
+    x1 = int.from_bytes(bytes([flags & 0x1F]) + raw[1:48], "big")
+    x0 = int.from_bytes(raw[48:96], "big")
+    x = (x0, x1)
+    if compressed:
+        rhs = o.fq2_add(o.fq2_mul(o.fq2_sqr(x), x), o.G2_B)
+        y = _fq2_sqrt(rhs)
+        if y is None:
+            raise ValueError("not on curve")
+        y0, y1 = y
+        if ((y1, y0) > ((o.Q - y1) % o.Q, (o.Q - y0) % o.Q)) != bool(flags & _Y_SIGN):
+            y = o.fq2_neg(y)
+        return o.G2.from_affine((x, y))
+    y1 = int.from_bytes(raw[96:144], "big")
+    y0 = int.from_bytes(raw[144:], "big")
+    p = o.G2.from_affine((x, (y0, y1)))
+    if not o.G2.on_curve(p):
+        raise ValueError("not on curve")
+    return p
+
+
+def _fq2_sqrt(a: o.Fq2) -> Optional[o.Fq2]:
+    """Square root in Fq2 via the complex method (q ≡ 3 mod 4)."""
+    a0, a1 = a
+    if a1 == 0:
+        s = o.fq_sqrt(a0)
+        if s is not None:
+            return (s, 0)
+        # sqrt of a non-residue: a0 = -s^2 for some s; sqrt = s*u
+        s = o.fq_sqrt((-a0) % o.Q)
+        return None if s is None else (0, s)
+    # norm = a0^2 + a1^2 must be a QR in Fq
+    n = o.fq_sqrt((a0 * a0 + a1 * a1) % o.Q)
+    if n is None:
+        return None
+    inv2 = o.fq_inv(2)
+    for sign in (1, -1):
+        c0 = (a0 + sign * n) % o.Q * inv2 % o.Q
+        x0 = o.fq_sqrt(c0)
+        if x0 is None:
+            continue
+        x1 = a1 * o.fq_inv(2 * x0 % o.Q) % o.Q
+        cand = (x0, x1)
+        if o.fq2_sqr(cand) == (a0 % o.Q, a1 % o.Q):
+            return cand
+    return None
+
+
+def g2_to_b64(p, compressed: bool = True) -> str:
+    return b64_encode(g2_to_bytes(p, compressed))
+
+
+def g2_from_b64(s: str):
+    return g2_from_bytes(b64_decode(s))
