@@ -90,6 +90,23 @@ class PrimeField:
         flat = host.reshape(-1, self.L)
         return [_limbs_to_int(row) for row in flat]
 
+    def encode_vec(self, xs: Sequence[int]) -> jnp.ndarray:
+        """Vectorized host ints → Montgomery device array (fast path for
+        large polynomials: byte-packing on host, to_mont on device)."""
+        nbytes = self.L * 2
+        raw = b"".join(int(x % self.p).to_bytes(nbytes, "little") for x in xs)
+        limbs = np.frombuffer(raw, dtype="<u2").reshape(len(xs), self.L)
+        return self.to_mont(jnp.asarray(limbs.astype(np.uint32)))
+
+    def decode_vec(self, arr) -> List[int]:
+        """Vectorized Montgomery device array → host ints."""
+        host = np.asarray(jax.device_get(self.from_mont(arr)),
+                          dtype=np.uint32).reshape(-1, self.L)
+        raw = host.astype("<u2").tobytes()
+        nbytes = self.L * 2
+        return [int.from_bytes(raw[i * nbytes:(i + 1) * nbytes], "little")
+                for i in range(host.shape[0])]
+
     # -- limb helpers ---------------------------------------------------------
 
     def _unpack(self, a):
