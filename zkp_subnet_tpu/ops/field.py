@@ -64,6 +64,8 @@ class PrimeField:
         self.mont_r2 = (R * R) % modulus
         # -p^{-1} mod 2^16
         self.n0inv = (-pow(modulus, -1, 1 << LIMB_BITS)) & LIMB_MASK
+        # N' = -p^{-1} mod R (for separated Montgomery reduction)
+        self.nprime_limbs = _int_to_limbs((-pow(modulus, -1, R)) % R, n_limbs)
         self.p_limbs = _int_to_limbs(modulus, n_limbs)
         self.r2_limbs = _int_to_limbs(self.mont_r2, n_limbs)
         self.one_mont = _int_to_limbs(self.mont_r, n_limbs)
@@ -131,104 +133,162 @@ class PrimeField:
         one = jnp.asarray(self.one_mont, dtype=jnp.uint32)
         return jnp.broadcast_to(one, tuple(shape) + (self.L,))
 
-    def _carry_limbs(self, limbs):
-        """Propagate carries so every limb < 2^16 (input limbs < 2^32-ish)."""
-        out = []
-        carry = jnp.zeros_like(limbs[0])
-        for k in range(len(limbs)):
-            t = limbs[k] + carry
-            out.append(t & LIMB_MASK)
-            carry = t >> LIMB_BITS
-        return out, carry
+    # -- carry/borrow propagation: log-depth Kogge-Stone scans ----------------
+    # Long sequential per-limb chains make XLA's CPU pipeline pathologically
+    # slow to compile (and serialize the VPU); all carry handling below is
+    # log2(L)-depth with whole-vector ops only.
 
-    def _sub_p_if_ge(self, limbs, extra=None):
-        """Given value v (< 2p, as L normalized limbs + optional carry bit),
-        return v - p if v >= p else v. Branchless."""
-        p = self._const(self.p_limbs)
-        borrow = jnp.zeros_like(limbs[0])
-        diff = []
-        for k in range(self.L):
-            t = limbs[k] - p[k] - borrow
-            diff.append(t & LIMB_MASK)
-            borrow = (t >> LIMB_BITS) & 1
+    @staticmethod
+    def _shift_up(x, d: int):
+        """Shift limbs toward higher significance by d (zeros shifted in)."""
+        lead = [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, lead + [(d, 0)])[..., :x.shape[-1]]
+
+    def _ks_carry(self, digits):
+        """Exact carry propagation for digits ≤ 2^16 (i.e. ≤ MASK+1).
+
+        Returns (limbs < 2^16, carry_out ∈ {0,1}). Kogge-Stone on
+        (generate, propagate) bits, log2(n) rounds of vector ops.
+        """
+        n = digits.shape[-1]
+        g = digits >> LIMB_BITS               # 1 iff digit == 2^16
+        p = (digits == LIMB_MASK).astype(jnp.uint32)
+        d = 1
+        while d < n:
+            g = g | (p & self._shift_up(g, d))
+            p = p & self._shift_up(p, d)
+            d <<= 1
+        carry_in = self._shift_up(g, 1)
+        res = (digits + carry_in) & LIMB_MASK
+        return res, g[..., -1]
+
+    def _ks_borrow(self, a, b):
+        """a - b limbwise with borrow scan; a, b limbs < 2^16.
+
+        Returns (diff limbs, borrow_out ∈ {0,1})."""
+        g = (a < b).astype(jnp.uint32)
+        p = (a == b).astype(jnp.uint32)
+        n = a.shape[-1]
+        d = 1
+        while d < n:
+            g = g | (p & self._shift_up(g, d))
+            p = p & self._shift_up(p, d)
+            d <<= 1
+        borrow_in = self._shift_up(g, 1)
+        diff = (a - b - borrow_in) & LIMB_MASK
+        return diff, g[..., -1]
+
+    def _sub_p_if_ge(self, v, extra=None):
+        """v - p if v ≥ p else v, branchless. v: (..., L) exact limbs; extra
+        is the optional 2^(16L) bit of v (v < 2p overall)."""
+        p_vec = jnp.asarray(self.p_limbs, dtype=jnp.uint32)
+        diff, borrow = self._ks_borrow(v, p_vec)
         if extra is not None:
-            # value had a 2^(16L) bit: v - p surely >= 0 iff extra==1 or no borrow
             use_diff = (extra | (1 - borrow)).astype(jnp.uint32)
         else:
             use_diff = (1 - borrow).astype(jnp.uint32)
-        mask = use_diff * jnp.uint32(0xFFFFFFFF)
-        return [(d & mask) | (l & ~mask) for d, l in zip(diff, limbs)]
+        mask = use_diff[..., None] * jnp.uint32(0xFFFFFFFF)
+        return (diff & mask) | (v & ~mask)
 
     @jit_method()
     def add(self, a, b):
-        al, bl = self._unpack(a), self._unpack(b)
-        s = [x + y for x, y in zip(al, bl)]
-        s, carry = self._carry_limbs(s)
-        return self._pack(self._sub_p_if_ge(s, extra=carry))
+        s = a + b                                # digits ≤ 2·MASK
+        lo = s & LIMB_MASK
+        hi = s >> LIMB_BITS
+        extra0 = hi[..., -1]
+        s = lo + self._shift_up(hi, 1)           # digits ≤ 2^16
+        res, cout = self._ks_carry(s)
+        return self._sub_p_if_ge(res, extra=extra0 | cout)
 
     @jit_method()
     def sub(self, a, b):
-        """a - b mod p, computed as (a + p - b) with a biased carry chain.
-
-        Each limb step computes t = a_k + p_k - b_k + c + 2^16 (the +2^16 bias
-        keeps t nonnegative in uint32 even when c = -1); the true carry is
-        (t >> 16) - 1, representable in wrapping uint32 arithmetic.
-        """
-        al, bl = self._unpack(a), self._unpack(b)
-        p = self._const(self.p_limbs)
-        bias = jnp.uint32(1 << LIMB_BITS)
-        c = jnp.zeros_like(al[0])
-        res = []
-        for k in range(self.L):
-            t = al[k] + p[k] + c - bl[k] + bias
-            res.append(t & LIMB_MASK)
-            c = (t >> LIMB_BITS) - jnp.uint32(1)  # in {-1,0,1}, wraps for -1
-        # a,b < p ⇒ a - b + p ∈ (0, 2p) ⇒ final carry c ∈ {0, 1}
-        extra = c & jnp.uint32(1)
-        return self._pack(self._sub_p_if_ge(res, extra=extra))
+        d, borrow = self._ks_borrow(a, b)        # a - b (+2^(16L) if borrow)
+        # on borrow: result = d + p (the implicit 2^(16L) and p's complement
+        # cancel: (a - b + 2^(16L)) + p ≡ a - b + p mod 2^(16L))
+        p_vec = jnp.asarray(self.p_limbs, dtype=jnp.uint32)
+        s = d + p_vec
+        lo = s & LIMB_MASK
+        s = lo + self._shift_up(s >> LIMB_BITS, 1)
+        dp, _ = self._ks_carry(s)
+        mask = borrow.astype(jnp.uint32)[..., None] * jnp.uint32(0xFFFFFFFF)
+        return (dp & mask) | (d & ~mask)
 
     @jit_method()
     def neg(self, a):
         return self.sub(self.zero_like(a), a)
 
+    @staticmethod
+    def _skew_sum(rows, shift0: int, out_cols: int):
+        """Σ_i shift_right(rows[..., i, :], i + shift0), truncated to out_cols.
+
+        The shift-by-row-index layout is produced with zero gathers/scatters:
+        pad each row to width out_cols+1, flatten, truncate, reshape — row i
+        then starts at column i (the classic skew trick) — and reduce.
+        Requires shift0 + n + m - 1 ≤ out_cols (no spill into the next row).
+        """
+        n, m = rows.shape[-2], rows.shape[-1]
+        W = out_cols
+        assert shift0 + n - 1 + m - 1 < W, "skew would spill"
+        lead = [(0, 0)] * (rows.ndim - 2)
+        padded = jnp.pad(rows, lead + [(0, 0), (shift0, W + 1 - m - shift0)])
+        flat = padded.reshape(padded.shape[:-2] + (n * (W + 1),))[..., :n * W]
+        return jnp.sum(flat.reshape(flat.shape[:-1] + (n, W)), axis=-2)
+
+    def _mul_columns(self, a, b, out_cols: int):
+        """Unnormalized column sums of the limb product a·b.
+
+        a, b: (..., L') uint32 with limbs ≲ 2^16 (a hair over is fine).
+        Returns (..., out_cols) uint32 with column k = Σ_{i+j=k} a_i·b_j,
+        accumulated as lo/hi 16-bit halves; every column < 4L·2^16 ≪ 2^32.
+        Fully loop-free (outer product + two skew reductions) so the jaxpr
+        stays tiny — XLA compile time, not FLOPs, was the limiting factor for
+        rolled/scatter formulations of bigint multiply.
+        """
+        prods = a[..., :, None] * b[..., None, :]      # (..., La, Lb) exact
+        lo = prods & jnp.uint32(LIMB_MASK)
+        hi = prods >> LIMB_BITS
+        return (self._skew_sum(lo, 0, out_cols) +
+                self._skew_sum(hi, 1, out_cols))
+
+    def _norm2(self, t):
+        """Two vectorized carry passes: limbs < 2^23 → limbs ≤ 2^16.
+
+        Not an exact normalization (a limb may still be 2^16), but the result
+        is safe as a multiplicand: products stay < 2^32. The top limb's carry
+        is dropped (callers either pad or rely on mod-2^(16L) semantics).
+        """
+        for _ in range(2):
+            t = (t & LIMB_MASK) + self._shift_up(t >> LIMB_BITS, 1)
+        return t
+
     @jit_method()
     def mont_mul(self, a, b):
-        """Montgomery product a*b*R^{-1} mod p: CIOS with a shifting window.
+        """Montgomery product a*b*R^{-1} mod p, separated SOS form.
 
-        One fori_loop iteration per limb of ``a``: accumulate a_i * b and the
-        Montgomery correction m*p into an (L+2)-limb window, then shift the
-        window down one limb (the zeroed limb falls off). All slices are
-        static, so the jaxpr is tiny and compiles fast; all arithmetic is
-        vectorized over the batch dims. Column values stay < 4L·2^16 ≪ 2^32.
+        1. T = a·b as 2L columns (outer product + shifted adds).
+        2. m = T·N' mod R with N' = -p^{-1} mod R (low-half product).
+        3. result = (T + m·p) / R — exact division; low limbs vanish.
+        All steps are loop-free; only the final exact carry chain is a short
+        static unroll. Result < 2p → one conditional subtract.
         """
         L = self.L
-        shape = jnp.broadcast_shapes(a.shape, b.shape)
-        a = jnp.broadcast_to(a, shape)
-        b = jnp.broadcast_to(b, shape)
         p_vec = jnp.asarray(self.p_limbs, dtype=jnp.uint32)
-        n0 = jnp.uint32(self.n0inv)
-        mask = jnp.uint32(LIMB_MASK)
-        t0 = jnp.zeros(shape[:-1] + (L + 2,), dtype=jnp.uint32)
+        np_vec = jnp.asarray(self.nprime_limbs, dtype=jnp.uint32)
 
-        def body(i, t):
-            ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1)  # (..., 1)
-            prod = ai * b
-            t = t.at[..., 0:L].add(prod & mask)
-            t = t.at[..., 1:L + 1].add(prod >> LIMB_BITS)
-            m = (t[..., 0:1] * n0) & mask
-            prod2 = m * p_vec
-            t = t.at[..., 0:L].add(prod2 & mask)
-            t = t.at[..., 1:L + 1].add(prod2 >> LIMB_BITS)
-            t = t.at[..., 1].add(t[..., 0] >> LIMB_BITS)  # t[0] ≡ 0 mod 2^16
-            return jnp.concatenate(
-                [t[..., 1:], jnp.zeros_like(t[..., :1])], axis=-1)
+        T = self._mul_columns(a, b, 2 * L)             # ~2^22 per column
+        Tn = self._norm2(T)                            # limbs ≤ 2^16
+        m = self._norm2(
+            self._mul_columns(Tn[..., :L], np_vec, 2 * L)[..., :L])
+        U = self._mul_columns(m, p_vec, 2 * L)
+        S = Tn + U                                     # columns < 2^23
 
-        t = jax.lax.fori_loop(0, L, body, t0, unroll=2)
-        limbs = [t[..., k] for k in range(L + 2)]
-        limbs, carry = self._carry_limbs(limbs)
-        # result < 2p: after normalization limbs[L] is the single overflow bit
-        extra = limbs[L]
-        return self._pack(self._sub_p_if_ge(limbs[:L], extra=extra))
+        # Exact normalize S (2L+1 limbs, padded for the top carry); the low L
+        # limbs of T + m·p are ≡ 0 and vanish, the rest is the result /R.
+        lead = [(0, 0)] * (S.ndim - 1)
+        S = jnp.pad(S, lead + [(0, 1)])
+        S = self._norm2(S)                             # digits ≤ 2^16
+        S, _ = self._ks_carry(S)
+        return self._sub_p_if_ge(S[..., L:2 * L], extra=S[..., 2 * L])
 
     @jit_method()
     def sqr(self, a):
