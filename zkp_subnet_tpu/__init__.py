@@ -1,0 +1,27 @@
+"""zkp_subnet_tpu — a TPU-native KZG / Pianist distributed prover.
+
+A from-scratch reimplementation of the capability surface of the
+apollozkp/zkp-subnet reference (Bittensor "Apollo" subnet + Rust `fourier`
+prover) as an idiomatic JAX/XLA stack: limb field arithmetic, NTT, Pippenger
+MSM and KZG commit/open on TPU; Pianist row-sharding over a device mesh; a
+pod-slice runtime replacing the chain/miner/validator orchestration.
+"""
+
+import os
+
+import jax
+
+__version__ = "0.1.0"
+
+# Persistent compilation cache: XLA compiles of the big-integer programs are
+# expensive (minutes on the tunneled TPU backend); cache them across runs.
+_cache_dir = os.environ.get(
+    "ZKP_TPU_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # pragma: no cover - older jax without these knobs
+    pass

@@ -1,0 +1,58 @@
+"""KZG polynomial commitments on TPU: commit / open / verify.
+
+The compute surface matches the reference prover RPCs
+(reference: neurons/miner.py:38-54, neurons/validator.py:77-104):
+commit = MSM(SRS, coefficients), open = synthetic-division quotient + MSM,
+verify = two pairings. Commit/open run fully on TPU; the O(1) pairing check
+runs on the host (C++ native library when built, bigint oracle otherwise) —
+pairings are branch-heavy scalar code with no batch dimension, the one part
+of the stack a TPU should *not* run.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.field import FR, FQ
+from ..ops import curve as cv
+from ..ops import msm as jmsm
+from ..ops import poly as jpoly
+from ..utils import oracle as o
+
+
+def commit(bases: jnp.ndarray, coeffs: jnp.ndarray,
+           window_bits: int = jmsm.DEFAULT_WINDOW_BITS) -> jnp.ndarray:
+    """[f(τ)]G1 from Montgomery-form coefficients. bases: (N, 3, L)."""
+    scalars = FR.from_mont(coeffs)       # canonical limbs for digit windows
+    return jmsm.msm_auto(bases, scalars, window_bits=window_bits)
+
+
+def open_(bases: jnp.ndarray, coeffs: jnp.ndarray, x: jnp.ndarray,
+          window_bits: int = jmsm.DEFAULT_WINDOW_BITS
+          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (eval f(x), proof [q(τ)]G1); x is (L,) Montgomery."""
+    y = jpoly.poly_eval(coeffs, x)
+    q = jpoly.poly_quotient(coeffs, x)
+    scalars = FR.from_mont(q)
+    return y, jmsm.msm_auto(bases[:q.shape[0]], scalars,
+                            window_bits=window_bits)
+
+
+def verify(commitment, x: int, y: int, proof,
+           g2_gen, g2_tau, shift_g1=None) -> bool:
+    """Host-side pairing check: e(C − y·G − shift, G2) == e(W, [τ−x]G2).
+
+    commitment/proof: oracle G1 points (already decoded). ``shift_g1``
+    generalizes the check for Pianist worker verification where the
+    eval-term base is [R_i(τ_Y)]G1 instead of G1 (pass base point there).
+    """
+    base = shift_g1 if shift_g1 is not None else o.G1.from_affine(o.G1_GEN)
+    c_minus = o.G1.add(commitment, o.G1.neg(o.G1.mul(base, y)))
+    tau_minus_x = o.G2.add(g2_tau, o.G2.neg(o.G2.mul(g2_gen, x)))
+    return o.pairing_product_is_one([
+        (c_minus, o.G2.neg(g2_gen)),
+        (proof, tau_minus_x),
+    ])

@@ -1,0 +1,190 @@
+"""KZG structured reference string: generation, worker slices, persistence.
+
+Parity surface: the reference's ``fourier setup --setup-path P
+--precompute-path P --scale N --machines-scale M --generate-setup
+--generate-precompute --overwrite`` CLI (reference: tests/conftest.py:50-65)
+and the ``setup_{scale}_{machines}`` artifact naming (reference:
+Makefile:30-48). Here *setup* = the monomial τ_X/τ_Y powers in G1/G2 and
+*precompute* = the per-worker Pianist slices (Lagrange-scaled SRS rows).
+
+Pianist structure (README.md:17 cites eprint 2023/1271): the bivariate
+f(X, Y) = Σ_i R_i(Y)·f_i(X) with M = 2^machines_scale workers, each owning a
+row of T = 2^(scale − machines_scale) coefficients. Worker i commits with the
+slice U_i[j] = [R_i(τ_Y)·τ_X^j]G1, so Σ_i com_i = [f(τ_X, τ_Y)]G1 — the
+per-worker proofs aggregate by plain point addition, which is what the
+reference documents but never wired (reference: neurons/validator.py:194-198).
+
+SRS generation runs on TPU: powers of τ via log-depth doubling, then one
+batched double-and-add scalar multiplication of the generator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.field import FR, FQ
+from ..ops import curve as cv
+from ..ops import ntt as jntt
+from ..utils import oracle as o
+from ..utils import encoding as enc
+
+FORMAT_VERSION = 1
+
+
+def _lagrange_coeffs_at(tau_y: int, m: int) -> List[int]:
+    """R_i(τ_Y) for the size-m roots-of-unity domain, i = 0..m-1.
+
+    R_i(Y) = (Y^m - 1)·ω^i / (m·(Y - ω^i)); computed with host bigints
+    (m ≤ 2^8 in practice).
+    """
+    log_m = m.bit_length() - 1
+    w = o.fr_root_of_unity(log_m)
+    num = (pow(tau_y, m, o.R) - 1) % o.R
+    minv = pow(m, o.R - 2, o.R)
+    out = []
+    for i in range(m):
+        wi = pow(w, i, o.R)
+        denom = (tau_y - wi) % o.R
+        if denom == 0:
+            # τ_Y hit the domain (astronomically unlikely); L_i(τ)=δ
+            out.append(1 if pow(w, i, o.R) == tau_y else 0)
+            continue
+        out.append(num * wi % o.R * minv % o.R * pow(denom, o.R - 2, o.R) % o.R)
+    return out
+
+
+@dataclasses.dataclass
+class Srs:
+    """Device-resident SRS.
+
+    g1_x: (2^scale_x, 3, L) — [τ_X^j]G1 (monomial basis), Montgomery form.
+    worker_bases: (M, T, 3, L) — U_i[j] = [R_i(τ_Y)·τ_X^j]G1.
+    lagrange_y: (M, 3, L) — V_i = [R_i(τ_Y)]G1 (per-worker verifier keys,
+        and the Lagrange-basis Y-SRS used for aggregation opening).
+    g2_gen / g2_tau_x / g2_tau_y: host oracle G2 points.
+    """
+    scale: int
+    machines_scale: int
+    g1_x: jnp.ndarray
+    worker_bases: jnp.ndarray
+    lagrange_y: jnp.ndarray
+    g2_gen: tuple
+    g2_tau_x: tuple
+    g2_tau_y: tuple
+
+    @property
+    def machines(self) -> int:
+        return 1 << self.machines_scale
+
+    @property
+    def row_size(self) -> int:
+        return 1 << (self.scale - self.machines_scale)
+
+    # -- generation ----------------------------------------------------------
+
+    @classmethod
+    def generate(cls, scale: int, machines_scale: int,
+                 tau_x: Optional[int] = None, tau_y: Optional[int] = None,
+                 seed: int = 0) -> "Srs":
+        """Generate a fresh SRS (trusted-setup emulation, parity with
+        ``fourier setup --generate-setup --generate-precompute``)."""
+        import random
+        rnd = random.Random(seed + 0x5E70)
+        if tau_x is None:
+            tau_x = rnd.randrange(1, o.R)
+        if tau_y is None:
+            tau_y = rnd.randrange(1, o.R)
+        m = 1 << machines_scale
+        t = 1 << (scale - machines_scale)
+
+        gen = cv.g1_encode([o.G1.from_affine(o.G1_GEN)])[0]
+
+        # [τ_X^j]G1 for j < t (per-worker row length; the full 2^scale
+        # monomial basis is recoverable but unused by the Pianist flow)
+        tx_mont = FR.encode([tau_x])[0]
+        pow_x = FR.powers(tx_mont, t)                       # (t, L) Montgomery
+
+        # R_i(τ_Y) scalars and worker bases U_i[j] = [R_i(τ_Y)·τ_X^j]G1
+        lag = _lagrange_coeffs_at(tau_y, m)                 # host ints
+        lag_mont = FR.encode_vec(lag)                       # (m, L)
+        s = FR.mont_mul(lag_mont[:, None, :], pow_x[None, :, :])  # (m, t, L)
+
+        # one batched double-and-add over all scalars at once
+        all_scalars = FR.from_mont(jnp.concatenate(
+            [pow_x, s.reshape(m * t, FR.L), lag_mont], axis=0))
+        all_points = cv.g1_scalar_mul(
+            jnp.broadcast_to(gen, (all_scalars.shape[0], 3, FQ.L)),
+            all_scalars)
+        g1_x = all_points[:t]
+        worker_bases = all_points[t:t + m * t].reshape(m, t, 3, FQ.L)
+        lagrange_y = all_points[t + m * t:]
+
+        g2 = o.G2.from_affine(o.G2_GEN)
+        return cls(
+            scale=scale, machines_scale=machines_scale,
+            g1_x=g1_x, worker_bases=worker_bases, lagrange_y=lagrange_y,
+            g2_gen=g2,
+            g2_tau_x=o.G2.mul(g2, tau_x),
+            g2_tau_y=o.G2.mul(g2, tau_y),
+        )
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, setup_path: str, precompute_path: str) -> None:
+        """Write setup (G1/G2 powers) and precompute (worker slices) files."""
+        def host(x):
+            return np.asarray(jax.device_get(x), dtype=np.uint32)
+
+        np.savez_compressed(
+            setup_path,
+            version=FORMAT_VERSION, scale=self.scale,
+            machines_scale=self.machines_scale,
+            g1_x=host(self.g1_x),
+            g2_gen=np.frombuffer(enc.g2_to_bytes(self.g2_gen, False),
+                                 dtype=np.uint8),
+            g2_tau_x=np.frombuffer(enc.g2_to_bytes(self.g2_tau_x, False),
+                                   dtype=np.uint8),
+            g2_tau_y=np.frombuffer(enc.g2_to_bytes(self.g2_tau_y, False),
+                                   dtype=np.uint8),
+        )
+        np.savez_compressed(
+            precompute_path,
+            version=FORMAT_VERSION, scale=self.scale,
+            machines_scale=self.machines_scale,
+            worker_bases=host(self.worker_bases),
+            lagrange_y=host(self.lagrange_y),
+        )
+
+    @classmethod
+    def load(cls, setup_path: str, precompute_path: str) -> "Srs":
+        for path in (setup_path, precompute_path):
+            if not os.path.exists(path):
+                raise FileNotFoundError(path)
+        s = np.load(setup_path)
+        p = np.load(precompute_path)
+        if int(s["version"]) != FORMAT_VERSION:
+            raise ValueError("unsupported setup format")
+        if int(s["scale"]) != int(p["scale"]) or \
+                int(s["machines_scale"]) != int(p["machines_scale"]):
+            raise ValueError("setup/precompute mismatch")
+        return cls(
+            scale=int(s["scale"]), machines_scale=int(s["machines_scale"]),
+            g1_x=jnp.asarray(s["g1_x"]),
+            worker_bases=jnp.asarray(p["worker_bases"]),
+            lagrange_y=jnp.asarray(p["lagrange_y"]),
+            g2_gen=enc.g2_from_bytes(s["g2_gen"].tobytes()),
+            g2_tau_x=enc.g2_from_bytes(s["g2_tau_x"].tobytes()),
+            g2_tau_y=enc.g2_from_bytes(s["g2_tau_y"].tobytes()),
+        )
+
+
+def default_paths(base_dir: str, scale: int, machines_scale: int):
+    """``setup_{scale}_{machines}`` naming parity (reference: Makefile:40-48)."""
+    return (os.path.join(base_dir, f"setup_{scale}_{machines_scale}.npz"),
+            os.path.join(base_dir, f"precompute_{scale}_{machines_scale}.npz"))

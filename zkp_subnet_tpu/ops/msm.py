@@ -1,0 +1,220 @@
+"""Pippenger multi-scalar multiplication on TPU.
+
+Computes Σ k_i·P_i for (N, 16)-limb scalars and (N, 3, L) projective points.
+This is the hot kernel behind KZG ``worker_commit``/``worker_open``
+(reference: neurons/miner.py:38-54 delegates it to the Rust prover).
+
+TPU-first formulation — no scatter-accumulate, no data-dependent branches:
+
+- Window size = 16 bits = exactly one scalar limb → 16 windows.
+- Per window: sort points by digit (dense sort + gather, both regular),
+  take an inclusive prefix scan of the sorted points (tiled: a lax.scan over
+  tile columns + Hillis-Steele across tile offsets), and scatter only the
+  *run-end* prefix values into a bucket-indexed table (unique indices).
+- Bucket weighted sum via the telescoping identity: with E_d = "prefix of all
+  points with digit ≤ d" (forward-filled over absent digits) and D = 2^16-1,
+      Σ_d d·B_d  =  D·E_D − Σ_{d=0}^{D-1} E_d,
+  where E_D is the plain sum of all points. This removes the classic
+  suffix-scan over buckets entirely: one more prefix scan over the bucket
+  axis and a constant-scalar multiply.
+- Window recombination is a Horner scan: 16 doublings + one add per window.
+
+All point operations are the complete RCB15 formulas (ops/curve.py), so the
+whole thing is one branch-free jitted program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .field import FQ, FR
+from .curve import (g1_add, g1_double, g1_infinity, g1_neg, g1_select)
+
+#: default window size; 16 aligns windows with scalar limbs (TPU), while
+#: tests use 8 to keep bucket arrays small on the CPU backend.
+DEFAULT_WINDOW_BITS = 16
+
+
+def _hs_prefix(points):
+    """Inclusive Hillis-Steele prefix scan over axis 0 of (T, 3, L) points.
+
+    log2(T) iterations of one batched complete add (dynamic roll + mask), so
+    the jaxpr contains a single g1_add instance.
+    """
+    T = points.shape[0]
+    steps = max(T.bit_length() - 1, 0)
+    if (1 << steps) < T:
+        steps += 1
+
+    def body(i, acc):
+        d = jax.lax.shift_left(jnp.uint32(1), i.astype(jnp.uint32))
+        shifted = jnp.roll(acc, d.astype(jnp.int32), axis=0)
+        idx = jax.lax.broadcasted_iota(jnp.uint32, (T, 1), 0)[:, 0]
+        valid = idx >= d
+        combined = g1_add(acc, shifted)
+        return g1_select(valid, combined, acc)
+
+    return jax.lax.fori_loop(0, steps, body, points)
+
+
+def _prefix_scan(points, tile: int = 32):
+    """Inclusive prefix scan of (M, 3, L) points.
+
+    Layout (T, K): a lax.scan down the K columns (vectorized over T tiles)
+    gives within-tile prefixes; Hillis-Steele over the T tile totals gives
+    offsets; one broadcast add combines them. ~(2M + M·log(T)/K) point-add
+    work with only K + log2(T) sequential steps — sequential step count, not
+    point-add count, dominates wall clock on TPU, so tiles are short and fat.
+    """
+    M = points.shape[0]
+    K = min(tile, M)
+    assert M % K == 0
+    T = M // K
+    arr = points.reshape(T, K, 3, FQ.L)
+    arr = jnp.swapaxes(arr, 0, 1)        # (K, T, 3, L): scan over columns
+
+    def step(carry, row):
+        new = g1_add(carry, row)
+        return new, new
+
+    carry0 = g1_infinity((T,))
+    totals, within = jax.lax.scan(step, carry0, arr)   # within: (K, T, 3, L)
+    within = jnp.swapaxes(within, 0, 1)                # (T, K, 3, L)
+
+    if T > 1:
+        offsets_inc = _hs_prefix(totals)               # inclusive over tiles
+        # exclusive: shift down one tile, infinity in front
+        offsets = jnp.concatenate(
+            [g1_infinity((1,)), offsets_inc[:-1]], axis=0)
+        within = g1_add(within, offsets[:, None])
+    return within.reshape(M, 3, FQ.L)
+
+
+def _window_sum(points, sorted_d, perm, window_bits: int):
+    """Σ_d d·(sum of points with digit d) for one window.
+
+    points: (N, 3, L); sorted_d/perm: (N,) pre-sorted digits + permutation.
+    """
+    NUM_BUCKETS = 1 << window_bits
+    N = points.shape[0]
+    spts = jnp.take(points, perm, axis=0)
+    prefix = _prefix_scan(spts)
+
+    # run ends: position i is the last of its digit run
+    is_end = jnp.concatenate(
+        [sorted_d[1:] != sorted_d[:-1], jnp.ones((1,), dtype=bool)])
+    scatter_idx = jnp.where(is_end, sorted_d, jnp.uint32(NUM_BUCKETS))
+
+    E = g1_infinity((NUM_BUCKETS + 1,))
+    E = E.at[scatter_idx].set(prefix)
+    valid = jnp.zeros((NUM_BUCKETS + 1,), dtype=jnp.uint32)
+    valid = valid.at[scatter_idx].set(jnp.ones((N,), dtype=jnp.uint32))
+    E, valid = E[:NUM_BUCKETS], valid[:NUM_BUCKETS]
+
+    # forward fill E over the bucket axis (selects only, no point math)
+    inf_pts = g1_infinity((NUM_BUCKETS,))
+
+    def fill(i, state):
+        e, v = state
+        d = jax.lax.shift_left(jnp.uint32(1), i.astype(jnp.uint32))
+        es = jnp.roll(e, d.astype(jnp.int32), axis=0)
+        vs = jnp.roll(v, d.astype(jnp.int32), axis=0)
+        idx = jax.lax.broadcasted_iota(jnp.uint32, (NUM_BUCKETS, 1), 0)[:, 0]
+        vs = vs * (idx >= d).astype(jnp.uint32)   # mask roll wraparound
+        es = g1_select(vs, es, inf_pts)           # invalid source → identity
+        e = g1_select(v, e, es)                   # keep once valid
+        v = jnp.maximum(v, vs)
+        return (e, v)
+
+    E, valid = jax.lax.fori_loop(0, window_bits, fill, (E, valid))
+
+    # Σ_{d=0}^{D-1} E_d = (Σ_{d=0}^{D} E_d) − E_D   (D = NUM_BUCKETS - 1)
+    total = prefix[-1]                       # E_D = sum of all points
+    sum_all = _prefix_scan(E)[-1]
+    sum_E = g1_add(sum_all, g1_neg(total))
+
+    # D·total = 2^wb·total − total
+    def dbl(i, acc):
+        return g1_double(acc)
+    t16 = jax.lax.fori_loop(0, window_bits, dbl, total)
+    d_total = g1_add(t16, g1_neg(total))
+    return g1_add(d_total, g1_neg(sum_E))
+
+
+@functools.partial(jax.jit, static_argnames=("window_bits",))
+def msm(points, scalars, window_bits: int = DEFAULT_WINDOW_BITS):
+    """Σ k_i·P_i. points: (N, 3, L) Montgomery projective; scalars: (N, 16)
+    canonical little-endian 16-bit limbs. Returns one (3, L) point.
+
+    N must be a multiple of 256 (pad with infinity / zero scalars).
+    """
+    assert 16 % window_bits == 0
+    per_limb = 16 // window_bits
+    mask = jnp.uint32((1 << window_bits) - 1)
+    # (N, 16) limbs → (N, 16·per_limb) digits, little-endian digit order
+    parts = [(scalars >> (window_bits * j)) & mask for j in range(per_limb)]
+    digits = jnp.stack(parts, axis=-1).reshape(scalars.shape[0], -1)
+    digits = jnp.swapaxes(digits, 0, 1)[::-1]    # (W, N), high window first
+
+    # one batched sort for all windows
+    n = digits.shape[1]
+    idx0 = jax.lax.broadcasted_iota(jnp.uint32, digits.shape, 1)
+    sorted_d, perms = jax.lax.sort_key_val(digits, idx0, dimension=1)
+
+    def window_body(acc, dw):
+        d, perm = dw
+        def dbl(i, a):
+            return g1_double(a)
+        acc = jax.lax.fori_loop(0, window_bits, dbl, acc)
+        w = _window_sum(points, d, perm, window_bits)
+        return g1_add(acc, w), None
+
+    acc0 = g1_infinity(())
+    acc, _ = jax.lax.scan(window_body, acc0, (sorted_d, perms))
+    return acc
+
+
+#: below this point count, batched double-and-add + tree sum beats Pippenger
+#: (sort/bucket machinery is pure overhead at tiny N)
+NAIVE_THRESHOLD = 2048
+
+
+@jax.jit
+def msm_naive(points, scalars):
+    """Σ k_i·P_i by batched double-and-add + one tree reduction.
+
+    Better than bucketing for small N: one scalar-mul sweep (256 fused
+    double/add steps over the whole batch) and log2(N) pairwise adds.
+    """
+    from .curve import g1_scalar_mul, g1_sum
+    n = points.shape[0]
+    target = max(1, 1 << (n - 1).bit_length())
+    if target != n:
+        pad = g1_infinity((target - n,))
+        points = jnp.concatenate([points, pad], axis=0)
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((target - n, FR.L), jnp.uint32)], axis=0)
+    return g1_sum(g1_scalar_mul(points, scalars))
+
+
+def msm_auto(points, scalars, window_bits: int = DEFAULT_WINDOW_BITS):
+    """Dispatch to the naive or Pippenger path by problem size."""
+    if points.shape[0] <= NAIVE_THRESHOLD:
+        return msm_naive(points, scalars)
+    return msm(*pad_for_msm(points, scalars), window_bits=window_bits)
+
+
+def pad_for_msm(points, scalars):
+    """Pad N up to a multiple of 256 with (infinity, 0) pairs."""
+    n = points.shape[0]
+    target = -(-n // 256) * 256
+    if target == n:
+        return points, scalars
+    extra = target - n
+    pad_pts = g1_infinity((extra,))
+    pad_sc = jnp.zeros((extra, FR.L), dtype=jnp.uint32)
+    return (jnp.concatenate([points, pad_pts], axis=0),
+            jnp.concatenate([scalars, pad_sc], axis=0))
