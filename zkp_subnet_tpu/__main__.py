@@ -1,0 +1,120 @@
+"""CLI: ``python -m zkp_subnet_tpu <command>``.
+
+``setup`` is flag-parity with the reference prover's CLI
+(reference: tests/conftest.py:50-65):
+    fourier setup --setup-path P --precompute-path P --scale N
+        --machines-scale M --generate-setup --generate-precompute --overwrite
+
+``round`` runs one full coordinator challenge round against in-process
+workers (the reference's miner/validator loop collapsed onto one host), and
+``aggregate`` additionally folds the sub-proofs into one bivariate proof.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _setup(args) -> int:
+    from .models.srs import Srs
+
+    for path, gen in ((args.setup_path, args.generate_setup),
+                      (args.precompute_path, args.generate_precompute)):
+        if gen and os.path.exists(path) and not args.overwrite:
+            print(f"refusing to overwrite {path} (pass --overwrite)",
+                  file=sys.stderr)
+            return 1
+    srs = Srs.generate(scale=args.scale, machines_scale=args.machines_scale,
+                       seed=args.seed)
+    srs.save(args.setup_path, args.precompute_path)
+    print(f"wrote {args.setup_path} and {args.precompute_path} "
+          f"(scale={args.scale}, machines_scale={args.machines_scale})")
+    return 0
+
+
+def _load_srs(args):
+    from .models.srs import Srs
+    if os.path.exists(args.setup_path) and os.path.exists(
+            args.precompute_path):
+        return Srs.load(args.setup_path, args.precompute_path)
+    print("setup files not found; generating in-memory SRS", file=sys.stderr)
+    return Srs.generate(scale=args.scale,
+                        machines_scale=args.machines_scale, seed=args.seed)
+
+
+def _round(args) -> int:
+    from .runtime import (Coordinator, CoordinatorConfig, LocalTransport,
+                          ProverConfig, Worker, WorkerConfig)
+
+    srs = _load_srs(args)
+    m = srs.machines
+    prover = ProverConfig(scale=srs.scale,
+                          machines_scale=srs.machines_scale,
+                          setup_path=args.setup_path,
+                          precompute_path=args.precompute_path)
+    hotkeys = [f"worker-{i}" for i in range(m)]
+    workers = {i: Worker(srs, WorkerConfig(prover=prover),
+                         members=set(hotkeys)) for i in range(m)}
+    coord = Coordinator(
+        srs, CoordinatorConfig(prover=prover, sample_size=m,
+                               timeout=args.timeout), hotkeys=hotkeys)
+    transport = LocalTransport(workers)
+
+    challenge, responses, rewards = coord.run_round(transport)
+    for r, rew in zip(responses, rewards):
+        print(f"worker {r.index}: reward={rew:.3f} "
+              f"t={r.process_time and round(r.process_time, 3)}s")
+
+    if args.aggregate:
+        agg, alpha, beta = coord.aggregate_responses(challenge, responses)
+        ok = coord.verify_aggregated(agg, alpha, beta)
+        print(f"aggregated bivariate proof verifies: {ok}")
+        if not ok:
+            return 1
+    uids, weights = coord.set_weights()
+    print(f"weights: {dict(zip(uids.tolist(), weights.tolist()))}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="zkp_subnet_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("setup", help="generate SRS + worker precompute")
+    sp.add_argument("--setup-path", "--setup_path", dest="setup_path",
+                    default="./setup.npz")
+    sp.add_argument("--precompute-path", "--precompute_path",
+                    dest="precompute_path", default="./precompute.npz")
+    sp.add_argument("--scale", type=int, default=18)
+    sp.add_argument("--machines-scale", "--machines_scale",
+                    dest="machines_scale", type=int, default=8)
+    sp.add_argument("--generate-setup", dest="generate_setup",
+                    action="store_true")
+    sp.add_argument("--generate-precompute", dest="generate_precompute",
+                    action="store_true")
+    sp.add_argument("--overwrite", action="store_true")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=_setup)
+
+    for name, agg in (("round", False), ("aggregate", True)):
+        rp = sub.add_parser(name, help="run one challenge round"
+                            + (" + aggregation" if agg else ""))
+        rp.add_argument("--setup-path", dest="setup_path",
+                        default="./setup.npz")
+        rp.add_argument("--precompute-path", dest="precompute_path",
+                        default="./precompute.npz")
+        rp.add_argument("--scale", type=int, default=6)
+        rp.add_argument("--machines-scale", dest="machines_scale",
+                        type=int, default=2)
+        rp.add_argument("--timeout", type=float, default=30.0)
+        rp.add_argument("--seed", type=int, default=0)
+        rp.set_defaults(fn=_round, aggregate=agg)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

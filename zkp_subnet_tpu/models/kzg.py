@@ -34,8 +34,7 @@ def open_(bases: jnp.ndarray, coeffs: jnp.ndarray, x: jnp.ndarray,
           window_bits: int = jmsm.DEFAULT_WINDOW_BITS
           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (eval f(x), proof [q(τ)]G1); x is (L,) Montgomery."""
-    y = jpoly.poly_eval(coeffs, x)
-    q = jpoly.poly_quotient(coeffs, x)
+    y, q = jpoly.poly_eval_and_quotient(coeffs, x)
     scalars = FR.from_mont(q)
     return y, jmsm.msm_auto(bases[:q.shape[0]], scalars,
                             window_bits=window_bits)

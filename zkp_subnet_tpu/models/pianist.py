@@ -110,23 +110,27 @@ def _lagrange_eval_domain(m: int):
     return FR.powers(w, m)                       # (m, L)
 
 
-def aggregate(srs: Srs, commitments: jnp.ndarray, proofs: jnp.ndarray,
-              evals: jnp.ndarray, beta: jnp.ndarray,
-              window_bits: int = jmsm.DEFAULT_WINDOW_BITS) -> AggregatedProof:
-    """Fold per-worker sub-proofs into a single bivariate opening at (α, β).
+def aggregate_core(lagrange_y: jnp.ndarray, commitments: jnp.ndarray,
+                   proofs: jnp.ndarray, evals: jnp.ndarray,
+                   beta: jnp.ndarray, dom: jnp.ndarray, m_inv: jnp.ndarray,
+                   window_bits: int = jmsm.DEFAULT_WINDOW_BITS):
+    """Traceable aggregation math (no host constants computed inside).
 
-    commitments/proofs: (M, 3, L); evals: (M, L) Montgomery; beta (L,).
+    All inputs are arrays: lagrange_y (M, 3, Lq), commitments/proofs
+    (M, 3, Lq), evals (M, L) Montgomery, beta (L,), dom (M, L) = domain points
+    ω^i, m_inv (L,) = 1/M — all Montgomery form. Returns
+    (C, W, C_y, W_y, value). Callable both single-chip (``aggregate``) and
+    inside a shard_map block after all_gather (zkp_subnet_tpu.parallel).
     """
-    m = srs.machines
+    m = evals.shape[0]
     C = cv.g1_sum(commitments)
     W = cv.g1_sum(proofs)
 
     # C_y = Σ y_i·V_i  (an MSM over the Lagrange-Y basis)
-    C_y = jmsm.msm_auto(srs.lagrange_y, FR.from_mont(evals),
+    C_y = jmsm.msm_auto(lagrange_y, FR.from_mont(evals),
                         window_bits=window_bits)
 
     # y(β) via barycentric: (β^m − 1)/m · Σ y_i·ω^i/(β − ω^i)
-    dom = _lagrange_eval_domain(m)               # (m, L)
     diff = FR.sub(jnp.broadcast_to(beta, dom.shape), dom)   # β − ω^i
     inv_diff = FR.inv(diff)
     terms = FR.mont_mul(FR.mont_mul(evals, dom), inv_diff)
@@ -136,16 +140,35 @@ def aggregate(srs: Srs, commitments: jnp.ndarray, proofs: jnp.ndarray,
         s = FR.add(s[:half], s[half:])
     beta_m = FR.pow_static(beta, m)
     num = FR.sub(beta_m, FR.ones(()))
-    m_inv = FR.encode([pow(m, o.R - 2, o.R)])[0]
     value = FR.mont_mul(FR.mont_mul(num, m_inv), s[0])
 
     # quotient in Lagrange form: q_i = (y_i − v)/(ω^i − β)
     q_evals = FR.mont_mul(
         FR.sub(evals, jnp.broadcast_to(value, evals.shape)),
         FR.inv(FR.sub(dom, jnp.broadcast_to(beta, dom.shape))))
-    W_y = jmsm.msm_auto(srs.lagrange_y, FR.from_mont(q_evals),
+    W_y = jmsm.msm_auto(lagrange_y, FR.from_mont(q_evals),
                         window_bits=window_bits)
+    return C, W, C_y, W_y, value
 
+
+def aggregation_constants(m: int):
+    """Host-prepared (dom, m_inv) Montgomery arrays for ``aggregate_core``."""
+    dom = _lagrange_eval_domain(m)
+    m_inv = FR.encode([pow(m, o.R - 2, o.R)])[0]
+    return dom, m_inv
+
+
+def aggregate(srs: Srs, commitments: jnp.ndarray, proofs: jnp.ndarray,
+              evals: jnp.ndarray, beta: jnp.ndarray,
+              window_bits: int = jmsm.DEFAULT_WINDOW_BITS) -> AggregatedProof:
+    """Fold per-worker sub-proofs into a single bivariate opening at (α, β).
+
+    commitments/proofs: (M, 3, L); evals: (M, L) Montgomery; beta (L,).
+    """
+    dom, m_inv = aggregation_constants(srs.machines)
+    C, W, C_y, W_y, value = aggregate_core(
+        srs.lagrange_y, commitments, proofs, evals, beta, dom, m_inv,
+        window_bits=window_bits)
     return AggregatedProof(commitment=C, proof_x=W, evals=evals,
                            commitment_y=C_y, proof_y=W_y, value=value)
 

@@ -2,9 +2,17 @@
 
 Semantics match the reference prover's ``eval`` RPC
 (reference: neurons/validator.py:97-104) and the quotient construction used by
-KZG ``worker_open`` (reference: neurons/miner.py:47-54): Horner evaluation and
-synthetic division, both expressed as ``lax.scan``/``fori_loop`` so the jaxpr
-stays small and TPU-friendly at any degree.
+KZG ``worker_open`` (reference: neurons/miner.py:47-54).
+
+TPU-first formulation: Horner is a length-N *sequential* chain — poison for a
+vector machine. Instead both evaluation and the synthetic-division quotient
+come from one log-depth pipeline over the termwise products t_k = c_k·x^k:
+
+    f(x)  = Σ_k t_k                      (tree reduction)
+    S_j   = Σ_{k≥j} t_k                  (suffix sums: one associative scan)
+    q_j   = (f(X) − f(x))/(X − x)[j] = x^{-(j+1)}·S_{j+1}
+
+so a degree-2^16 opening is ~log₂N sequential steps instead of 2^16.
 """
 
 from __future__ import annotations
@@ -15,45 +23,56 @@ import jax.numpy as jnp
 from .field import FR
 
 
+def _tree_sum(terms):
+    """Field-sum over axis 0 by trace-time halving; any N ≥ 1."""
+    n = terms.shape[0]
+    while n > 1:
+        half = n // 2
+        rest = terms[2 * half:]
+        terms = FR.add(terms[:half], terms[half:2 * half])
+        if rest.shape[0]:
+            terms = jnp.concatenate([terms, rest], axis=0)
+        n = terms.shape[0]
+    return terms[0]
+
+
 def poly_eval(coeffs, x):
-    """Evaluate f(x) by Horner. coeffs: (N, L) Montgomery; x: (L,)."""
+    """Evaluate f(x). coeffs: (N, L) Montgomery; x: (L,)."""
     n = coeffs.shape[0]
-
-    def body(i, acc):
-        # process coefficients high → low
-        c = jax.lax.dynamic_slice_in_dim(coeffs, n - 1 - i, 1, axis=0)[0]
-        return FR.add(FR.mont_mul(acc, x), c)
-
-    acc = jnp.zeros_like(x)
-    return jax.lax.fori_loop(0, n, body, acc)
+    pw = FR.powers(x, n)                       # (n, L): x^0 .. x^{n-1}
+    return _tree_sum(FR.mont_mul(coeffs, pw))
 
 
 def poly_eval_many(coeffs, xs):
     """Evaluate one polynomial at many points: coeffs (N,L), xs (B,L) → (B,L)."""
+    return jax.vmap(lambda x: poly_eval(coeffs, x))(xs)
+
+
+def poly_eval_and_quotient(coeffs, x):
+    """(f(x), q) with q(X) = (f(X) − f(x))/(X − x), shape (N−1, L).
+
+    One suffix scan serves both: f(x) = S_0 and q_j = x^{-(j+1)}·S_{j+1}.
+    The x = 0 corner (never hit by random challenge points, but kept exact)
+    degenerates to q = c[1:], selected branchlessly.
+    """
     n = coeffs.shape[0]
+    pw = FR.powers(x, n)
+    terms = FR.mont_mul(coeffs, pw)            # t_k = c_k·x^k
+    suffix = jax.lax.associative_scan(FR.add, terms, reverse=True, axis=0)
+    y = suffix[0]
 
-    def body(i, acc):
-        c = jax.lax.dynamic_slice_in_dim(coeffs, n - 1 - i, 1, axis=0)
-        return FR.add(FR.mont_mul(acc, xs), jnp.broadcast_to(c, xs.shape))
-
-    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(xs))
+    x_inv = FR.inv(x)                          # 0 → 0 (Fermat)
+    inv_pw = FR.mont_mul(FR.powers(x_inv, n - 1), x_inv[None])  # x^{-1}..x^{-(n-1)}
+    q = FR.mont_mul(suffix[1:], inv_pw)
+    q_zero = coeffs[1:]                        # exact quotient at x = 0
+    zero = FR.is_zero(x)
+    q = FR.select(jnp.broadcast_to(zero, q.shape[:-1]), q_zero, q)
+    return y, q
 
 
 def poly_quotient(coeffs, x):
-    """q(X) = (f(X) - f(x)) / (X - x) via synthetic division.
-
-    coeffs: (N, L); returns (N-1, L). q[n-2] = c[n-1]; q[i-1] = c[i] + x*q[i].
-    Expressed as a scan from the top coefficient down.
-    """
-    n = coeffs.shape[0]
-    rev_high = coeffs[1:][::-1]  # c[n-1], c[n-2], ..., c[1]
-
-    def step(acc, c):
-        acc = FR.add(FR.mont_mul(acc, x), c)
-        return acc, acc
-
-    _, qs = jax.lax.scan(step, jnp.zeros_like(x), rev_high)
-    return qs[::-1]  # q[0] ... q[n-2]
+    """q(X) = (f(X) − f(x))/(X − x) via the suffix-scan identity above."""
+    return poly_eval_and_quotient(coeffs, x)[1]
 
 
 def poly_add(a, b):
