@@ -7,18 +7,41 @@ MSM and KZG commit/open on TPU; Pianist row-sharding over a device mesh; a
 pod-slice runtime replacing the chain/miner/validator orchestration.
 """
 
+import hashlib
 import os
+import platform
 
 import jax
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _host_fingerprint() -> str:
+    """Backend- and CPU-feature-keyed cache namespace.
+
+    XLA:CPU AOT entries embed the compile machine's feature set; loading them
+    on a different host fails with cpu_aot_loader machine-feature mismatches.
+    Keying the cache dir by a host fingerprint keeps TPU-host entries from
+    ever poisoning CPU runs on another box (and vice versa).
+    """
+    feats = platform.machine() + ";" + platform.processor()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats += ";" + line.strip()
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+
 
 # Persistent compilation cache: XLA compiles of the big-integer programs are
 # expensive (minutes on the tunneled TPU backend); cache them across runs.
 _cache_dir = os.environ.get(
     "ZKP_TPU_JAX_CACHE",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
+                 ".jax_cache", _host_fingerprint()))
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -72,75 +72,71 @@ def g1_decode(p) -> List:
     return out
 
 
+def _stk(*xs):
+    """Stack same-shaped field elements along a fresh leading axis."""
+    return jnp.stack(xs, axis=0)
+
+
 def g1_add(p, q):
     """Complete projective addition (RCB15 Algorithm 7, a=0, b3=12).
 
     14 field multiplications, no branches; valid for every input pair.
+
+    The independent multiplications of each dependency layer are stacked
+    into ONE batched mont_mul (3 mul instances total instead of 14+2):
+    XLA:CPU compile time is linear in mont_mul *instances* (~0.8 s each on
+    a 2-core box), and wider batches also vectorize better at runtime.
     """
+    p, q = jnp.broadcast_arrays(p, q)
     X1, Y1, Z1 = g1_unpack(p)
     X2, Y2, Z2 = g1_unpack(q)
     mul, add, sub = FQ.mont_mul, FQ.add, FQ.sub
 
-    t0 = mul(X1, X2)
-    t1 = mul(Y1, Y2)
-    t2 = mul(Z1, Z2)
-    t3 = add(X1, Y1)
-    t4 = add(X2, Y2)
-    t3 = mul(t3, t4)
-    t4 = add(t0, t1)
-    t3 = sub(t3, t4)          # X1Y2 + X2Y1
-    t4 = add(Y1, Z1)
-    X3 = add(Y2, Z2)
-    t4 = mul(t4, X3)
-    X3 = add(t1, t2)
-    t4 = sub(t4, X3)          # Y1Z2 + Y2Z1
-    X3 = add(X1, Z1)
-    Y3 = add(X2, Z2)
-    X3 = mul(X3, Y3)
-    Y3 = add(t0, t2)
-    Y3 = sub(X3, Y3)          # X1Z2 + X2Z1
-    X3 = add(t0, t0)
-    t0 = add(X3, t0)          # 3 X1X2
-    t2 = FQ.mul_const(t2, _B3_MONT)   # 3b Z1Z2
-    Z3 = add(t1, t2)
-    t1 = sub(t1, t2)
-    Y3 = FQ.mul_const(Y3, _B3_MONT)   # 3b (X1Z2 + X2Z1)
-    X3 = mul(t4, Y3)
-    t2 = mul(t3, t1)
-    X3 = sub(t2, X3)
-    Y3 = mul(Y3, t0)
-    t1 = mul(t1, Z3)
-    Y3 = add(t1, Y3)
-    t0 = mul(t0, t3)
-    Z3 = mul(Z3, t4)
-    Z3 = add(Z3, t0)
+    # layer A: cross-term operand sums (one batched add)
+    a1, a2, a3, a4, a5, a6 = add(_stk(X1, X2, Y1, Y2, X1, X2),
+                                 _stk(Y1, Y2, Z1, Z2, Z1, Z2))
+    # layer M1: all 6 independent products
+    t0, t1, t2, p1, p2, p3 = mul(_stk(X1, Y1, Z1, a1, a3, a5),
+                                 _stk(X2, Y2, Z2, a2, a4, a6))
+    # layer B: cross terms + start of 3·t0
+    s1, s2, s3, dbl0 = add(_stk(t0, t1, t0, t0), _stk(t1, t2, t2, t0))
+    t3, t4, ty = sub(_stk(p1, p2, p3), _stk(s1, s2, s3))
+    # t3 = X1Y2+X2Y1, t4 = Y1Z2+Y2Z1, ty = X1Z2+X2Z1
+    # layer M2: the two 3b scalings
+    b3 = jnp.asarray(_B3_MONT, dtype=jnp.uint32)
+    t2b, y3b = mul(_stk(t2, ty), jnp.broadcast_to(b3, (2,) + t2.shape))
+    # layer C
+    z3t, t0t = add(_stk(t1, dbl0), _stk(t2b, t0))   # t1+3bZ1Z2, 3t0
+    t1t = sub(t1, t2b)
+    # layer M3: all 6 remaining products
+    w0, w1, w2, w3, w4, w5 = mul(_stk(t3, t4, y3b, t1t, z3t, t0t),
+                                 _stk(t1t, y3b, t0t, z3t, t4, t3))
+    X3 = sub(w0, w1)
+    Y3, Z3 = add(_stk(w2, w4), _stk(w3, w5))
     return g1_pack(X3, Y3, Z3)
 
 
 def g1_double(p):
-    """Complete projective doubling (RCB15 Algorithm 9, a=0, b3=12)."""
+    """Complete projective doubling (RCB15 Algorithm 9, a=0, b3=12).
+
+    Layer-batched like g1_add: 3 mont_mul instances instead of 7+1."""
     X, Y, Z = g1_unpack(p)
     mul, add, sub = FQ.mont_mul, FQ.add, FQ.sub
 
-    t0 = mul(Y, Y)
-    Z3 = add(t0, t0)
-    Z3 = add(Z3, Z3)
-    Z3 = add(Z3, Z3)          # 8 Y^2
-    t1 = mul(Y, Z)
-    t2 = mul(Z, Z)
-    t2 = FQ.mul_const(t2, _B3_MONT)   # 3b Z^2
-    X3 = mul(t2, Z3)
-    Y3 = add(t0, t2)
-    Z3 = mul(t1, Z3)
-    t1 = add(t2, t2)
-    t2 = add(t1, t2)
-    t0 = sub(t0, t2)
-    Y3 = mul(t0, Y3)
-    Y3 = add(X3, Y3)
-    t1 = mul(X, Y)
-    X3 = mul(t0, t1)
-    X3 = add(X3, X3)
-    return g1_pack(X3, Y3, Z3)
+    t0, tyz, tzz, txy = mul(_stk(Y, Y, Z, X), _stk(Y, Z, Z, Y))
+    d1 = add(t0, t0)
+    d2 = add(d1, d1)
+    z8 = add(d2, d2)                                # 8 Y^2
+    b3 = jnp.asarray(_B3_MONT, dtype=jnp.uint32)
+    t2b = mul(tzz, jnp.broadcast_to(b3, tzz.shape))  # 3b Z^2
+    y3a, t1c = add(_stk(t0, t2b), _stk(t2b, t2b))
+    t2c = add(t1c, t2b)                             # 9b Z^2
+    t0b = sub(t0, t2c)
+    x3m, z3, y3m, x3o = mul(_stk(t2b, tyz, t0b, t0b),
+                            _stk(z8, z8, y3a, txy))
+    Y3 = add(x3m, y3m)
+    X3 = add(x3o, x3o)
+    return g1_pack(X3, Y3, z3)
 
 
 def g1_neg(p):
@@ -187,18 +183,19 @@ def g1_scalar_mul(p, scalars):
 
 @jax.jit
 def g1_sum(points):
-    """Tree-reduce a (N, 3, L) array of points to a single point (3, L).
+    """Reduce a (N, 3, L) array of points to a single point (3, L).
 
-    N must be a power of two (pad with infinity otherwise).
-    """
+    N must be a power of two (pad with infinity otherwise). log2(N) levels
+    of shifted batched adds; every level keeps the same (N, 3, L) shape —
+    same-shape repeated instances compile far faster on XLA:CPU than a
+    halving tree, and the extra adds are against infinity (identity)."""
     n = points.shape[0]
     assert n & (n - 1) == 0
-
-    # trace-time loop: log2(N) levels of pairwise complete adds
-    while n > 1:
-        half = n // 2
-        points = g1_add(points[:half], points[half:])
-        n = half
+    d = 1
+    while d < n:
+        shifted = jnp.concatenate([points[d:], g1_infinity((d,))], axis=0)
+        points = g1_add(points, shifted)
+        d <<= 1
     return points[0]
 
 
