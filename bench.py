@@ -7,14 +7,30 @@ KZG-commit + open it within the 30-second challenge deadline on a ≥8-core CPU
 publishes no throughput numbers (BASELINE.md), so that deadline is the
 baseline: vs_baseline = 30 s / our wall time for commit+open of one row.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measurement discipline (VERDICT r1 weak #1: the round-1 number was a failed
+device sync, not a result):
+- every timed call is forced with np.asarray(jax.device_get(...)) — the
+  outputs land in host numpy before the clock stops;
+- iteration 0's commitment, eval, AND proof are verified in-process against
+  the bigint oracle via the known trapdoor τ (the bench refuses to print a
+  number if the math is wrong — "self-check PASS" on stderr is load-bearing);
+- the reported value is the MEDIAN of >= 5 runs;
+- MSM-only and NTT-only metrics at 2^16 / 2^20 plus a speed-of-light estimate
+  go into the "extras" field and stderr.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 Diagnostics go to stderr. Bases are cached under artifacts/.
+
+Env knobs: BENCH_LOG_T (row log-size, default 16), BENCH_ITERS (default 5),
+BENCH_MSM_LOG_N (default "16,20"), BENCH_NTT_LOG_N (default "16,20"),
+BENCH_PROFILE=<dir> (write a jax.profiler trace of one proving iteration).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -25,11 +41,31 @@ sys.path.insert(0, REPO)
 
 LOG_T = int(os.environ.get("BENCH_LOG_T", "16"))
 BASELINE_S = 30.0
-ITERS = int(os.environ.get("BENCH_ITERS", "3"))
+ITERS = max(5, int(os.environ.get("BENCH_ITERS", "5")))
+MSM_SIZES = [int(s) for s in
+             os.environ.get("BENCH_MSM_LOG_N", "16,20").split(",") if s]
+NTT_SIZES = [int(s) for s in
+             os.environ.get("BENCH_NTT_LOG_N", "16,20").split(",") if s]
+PROFILE_DIR = os.environ.get("BENCH_PROFILE")
+
+# fixed, publicly-known trapdoor: lets the self-check recompute every output
+# with O(1) oracle scalar muls (f(τ), q(τ) are host-bigint Horner sweeps)
+TAU = 0x1F2E3D4C5B6A79880123456789ABCDEF1122334455667788
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def force(x):
+    """Hard host sync: device_get + materialize as numpy (VERDICT r1 #2)."""
+    return jax_tree_map_np(x)
+
+
+def jax_tree_map_np(x):
+    import jax
+    return jax.tree_util.tree_map(
+        lambda a: np.asarray(jax.device_get(a)), x)
 
 
 def load_or_make_bases(n: int):
@@ -46,9 +82,8 @@ def load_or_make_bases(n: int):
         return jnp.asarray(np.load(path))
     os.makedirs(os.path.dirname(path), exist_ok=True)
     log(f"generating {n} SRS bases (one-time)...")
-    tau = 0x1F2E3D4C5B6A79880123456789ABCDEF1122334455667788  # fixed test tau
     t0 = time.time()
-    pow_tau = FR.from_mont(FR.powers(FR.encode([tau])[0], n))
+    pow_tau = FR.from_mont(FR.powers(FR.encode([TAU])[0], n))
     gen = cv.g1_encode([o.G1.from_affine(o.G1_GEN)])[0]
     # chunked: one fixed-shape compiled program, bounded device memory
     chunk = min(n, 4096)
@@ -64,6 +99,142 @@ def load_or_make_bases(n: int):
     return jnp.asarray(host)
 
 
+def selfcheck_prove(com, y, prf, row_ints, x_int):
+    """Bit-exact oracle check of one (commit, eval, proof) triple via τ."""
+    from zkp_subnet_tpu.ops import curve as cv
+    from zkp_subnet_tpu.utils import oracle as o
+
+    g = o.G1.from_affine(o.G1_GEN)
+    f_tau = o.poly_eval(row_ints, TAU)
+    want_com = o.G1.to_affine(o.G1.mul(g, f_tau))
+    got_com = o.G1.to_affine(cv.g1_decode(np.asarray(com)[None])[0])
+    if got_com != want_com:
+        raise SystemExit("SELF-CHECK FAILED: commitment != [f(tau)]G1")
+
+    want_y = o.poly_eval(row_ints, x_int)
+    from zkp_subnet_tpu.ops.field import FR
+    got_y = FR.decode(np.asarray(y)[None])[0]
+    if got_y != want_y:
+        raise SystemExit("SELF-CHECK FAILED: eval != f(x)")
+
+    # q(τ) = (f(τ) − f(x)) / (τ − x)
+    q_tau = (f_tau - want_y) * pow((TAU - x_int) % o.R, o.R - 2, o.R) % o.R
+    want_prf = o.G1.to_affine(o.G1.mul(g, q_tau))
+    got_prf = o.G1.to_affine(cv.g1_decode(np.asarray(prf)[None])[0])
+    if got_prf != want_prf:
+        raise SystemExit("SELF-CHECK FAILED: proof != [q(tau)]G1")
+    log("self-check PASS: commit/eval/proof bit-exact vs oracle trapdoor")
+
+
+def median_time(fn, inputs, warm_input):
+    """Median wall time of fn over `inputs`, hard-synced, after one warmup."""
+    t0 = time.time()
+    force(fn(*warm_input))
+    compile_s = time.time() - t0
+    times = []
+    for args in inputs:
+        t0 = time.time()
+        force(fn(*args))
+        times.append(time.time() - t0)
+    return statistics.median(times), times, compile_s
+
+
+def bench_msm(log_n: int, bases16, extras):
+    """MSM-only at 2^log_n: bases tiled from the 2^16 SRS row (point values
+    do not affect MSM timing; the known dlog keeps the self-check O(1))."""
+    import jax
+    import jax.numpy as jnp
+    from zkp_subnet_tpu.ops.field import FR
+    from zkp_subnet_tpu.ops import curve as cv
+    from zkp_subnet_tpu.ops import msm as jmsm
+    from zkp_subnet_tpu.models import pianist as pn
+    from zkp_subnet_tpu.utils import oracle as o
+
+    n = 1 << log_n
+    n16 = bases16.shape[0]
+    reps = max(1, n // n16)
+    bases = (bases16 if n <= n16 else
+             jnp.concatenate([bases16] * reps, axis=0))[:n]
+
+    fn = jax.jit(lambda pts, sc: jmsm.msm(pts, sc))
+    key = jax.random.PRNGKey(7 + log_n)
+    scs = [FR.from_mont(pn._uniform_fr(jax.random.fold_in(key, i), (n,)))
+           for i in range(ITERS + 1)]
+    med, times, compile_s = median_time(
+        fn, [(bases, s) for s in scs[1:]], (bases, scs[0]))
+
+    # self-check run 0: Σ k_c·τ^(c mod 2^16) — fold scalars, Horner, 1 mul
+    k_ints = _limbs_to_ints(np.asarray(scs[0]))
+    folded = [0] * min(n, n16)
+    for c, k in enumerate(k_ints):
+        folded[c % n16] = (folded[c % n16] + k) % o.R
+    g_tau = o.poly_eval(folded, TAU)
+    want = o.G1.to_affine(o.G1.mul(o.G1.from_affine(o.G1_GEN), g_tau))
+    got = o.G1.to_affine(cv.g1_decode(np.asarray(force(fn(bases, scs[0])))
+                                      [None])[0])
+    if got != want:
+        raise SystemExit(f"SELF-CHECK FAILED: msm 2^{log_n}")
+    log(f"msm 2^{log_n}: self-check PASS, median {med*1000:.1f} ms, "
+        f"runs {[round(t, 3) for t in times]}, compile {compile_s:.1f}s")
+    extras[f"msm_2^{log_n}_ms"] = round(med * 1000, 2)
+    extras[f"msm_2^{log_n}_points_per_s"] = round(n / med)
+
+
+def _limbs_to_ints(limbs: np.ndarray):
+    """(N, 16) uint32 little-endian 16-bit limbs → python ints."""
+    out = []
+    for row in limbs:
+        v = 0
+        for j in range(row.shape[0] - 1, -1, -1):
+            v = (v << 16) | int(row[j])
+        out.append(v)
+    return out
+
+
+def bench_ntt(log_n: int, extras):
+    """NTT-only at 2^log_n with an iNTT(NTT(x)) == x roundtrip check."""
+    import jax
+    from zkp_subnet_tpu.ops import ntt as jntt
+    from zkp_subnet_tpu.models import pianist as pn
+
+    n = 1 << log_n
+    jntt._ensure_tables(log_n, False)
+    jntt._ensure_tables(log_n, True)
+    fn = jax.jit(lambda v: jntt.ntt(v, inverse=False))
+    key = jax.random.PRNGKey(11 + log_n)
+    vs = [pn._uniform_fr(jax.random.fold_in(key, i), (n,))
+          for i in range(ITERS + 1)]
+    med, times, compile_s = median_time(
+        fn, [(v,) for v in vs[1:]], (vs[0],))
+
+    inv = jax.jit(lambda v: jntt.intt(v))
+    back = np.asarray(force(inv(fn(vs[0]))))
+    if not (back == np.asarray(force(vs[0]))).all():
+        raise SystemExit(f"SELF-CHECK FAILED: ntt 2^{log_n} roundtrip")
+    log(f"ntt 2^{log_n}: roundtrip PASS, median {med*1000:.2f} ms, "
+        f"runs {[round(t, 4) for t in times]}, compile {compile_s:.1f}s")
+    extras[f"ntt_2^{log_n}_ms"] = round(med * 1000, 3)
+
+
+def speed_of_light(extras):
+    """Rough per-chip lower bound for the 2^16 commit+open, from op counts.
+
+    Montgomery mul (16×16-bit limbs) ≈ 3·16² = 768 int32 MACs (product +
+    two-pass reduction). Complete RCB15 add = 12 fq-muls ≈ 9.2k MACs.
+    Pippenger at 16-bit windows ≈ 4 adds/point/window × 16 windows
+    (prefix scan + bucket machinery) ≈ 64 adds/point ≈ 0.59M MACs/point.
+    commit+open = 2 MSMs ≈ 1.2M MACs/point. A v5e chip's VPU does ~4e12
+    int32 MAC/s upper bound → SoL ≈ N·1.2e6/4e12 s.
+    """
+    n = 1 << LOG_T
+    macs = n * 2 * 64 * 12 * 768
+    sol_s = macs / 4e12
+    extras["speed_of_light_est_ms"] = round(sol_s * 1000, 2)
+    extras["speed_of_light_macs"] = macs
+    log(f"speed-of-light estimate for 2^{LOG_T} commit+open: "
+        f"{sol_s*1000:.1f} ms ({macs/1e9:.1f} G int32-MACs @ 4 TMAC/s)")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -71,10 +242,12 @@ def main():
     from zkp_subnet_tpu.ops.field import FR
     from zkp_subnet_tpu.models import kzg
     from zkp_subnet_tpu.models import pianist as pn
+    from zkp_subnet_tpu.utils import oracle as o
 
     log("backend:", jax.default_backend(), jax.devices()[:1])
     n = 1 << LOG_T
     bases = load_or_make_bases(n)
+    extras = {}
 
     @jax.jit
     def prove_row(bases, row, x):
@@ -88,23 +261,36 @@ def main():
     xs = [pn.random_point(jax.random.fold_in(key, 100 + i))
           for i in range(ITERS + 1)]
 
-    t0 = time.time()
-    jax.block_until_ready(prove_row(bases, rows[0], xs[0]))
-    log(f"compile+first run: {round(time.time() - t0, 1)}s")
+    med, times, compile_s = median_time(
+        prove_row, [(bases, rows[i], xs[i]) for i in range(1, ITERS + 1)],
+        (bases, rows[0], xs[0]))
+    log(f"compile+first run: {compile_s:.1f}s; "
+        f"runs: {[round(t, 3) for t in times]}s; median {med*1000:.1f} ms")
 
-    times = []
-    for i in range(1, ITERS + 1):
-        t0 = time.time()
-        jax.block_until_ready(prove_row(bases, rows[i], xs[i]))
-        times.append(time.time() - t0)
-    best = min(times)
-    log(f"runs: {[round(t, 3) for t in times]}s")
+    # in-process oracle verification of iteration 0 — a wrong or skipped
+    # computation can never print a number
+    com0, y0, prf0 = force(prove_row(bases, rows[0], xs[0]))
+    row0_ints = FR.decode_vec(rows[0])
+    x0_int = FR.decode(np.asarray(force(xs[0]))[None])[0]
+    selfcheck_prove(com0, y0, prf0, row0_ints, x0_int)
+
+    for log_n in MSM_SIZES:
+        bench_msm(log_n, bases, extras)
+    for log_n in NTT_SIZES:
+        bench_ntt(log_n, extras)
+    speed_of_light(extras)
+
+    if PROFILE_DIR:
+        log(f"writing jax.profiler trace to {PROFILE_DIR}")
+        with jax.profiler.trace(PROFILE_DIR):
+            force(prove_row(bases, rows[1], xs[1]))
 
     print(json.dumps({
         "metric": f"pianist_row_commit_open_2^{LOG_T}",
-        "value": round(best * 1000.0, 2),
+        "value": round(med * 1000.0, 2),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_S / best, 2),
+        "vs_baseline": round(BASELINE_S / med, 2),
+        "extras": extras,
     }), flush=True)
 
 

@@ -306,8 +306,13 @@ static inline Fq12 fq12_from_014(const Fq2 &c0, const Fq2 &c1,
   return {{c0, c1, fq2_zero()}, {fq2_zero(), c4, fq2_zero()}};
 }
 
+// `degenerate` is set when any chord/tangent denominator is zero (T == ±Q or
+// 2T with y = 0). These cases are unreachable for r-torsion inputs during the
+// ate loop but ARE reachable with adversarial non-subgroup points; the affine
+// formulas would silently divide by zero (fq2_inv(0) == 0), so the caller
+// must reject instead of trusting the product.
 static Fq12 miller_loop(const Fq &px, const Fq &py, const Fq2 &qx,
-                        const Fq2 &qy) {
+                        const Fq2 &qy, bool *degenerate) {
   Fq2 tx = qx, ty = qy;
   Fq12 f = fq12_one();
 
@@ -321,6 +326,7 @@ static Fq12 miller_loop(const Fq &px, const Fq &py, const Fq2 &qx,
       num = fq2_sub(by, ay);
       den = fq2_sub(bx, ax);
     }
+    if (fq2_is_zero(den)) *degenerate = true;
     Fq2 lam = fq2_mul(num, fq2_inv(den));
     Fq2 c0 = fq2_sub(fq2_mul(lam, ax), ay);
     Fq2 c1 = {fq_neg(fq_mul(lam.a, px)), fq_neg(fq_mul(lam.b, px))};
@@ -334,14 +340,17 @@ static Fq12 miller_loop(const Fq &px, const Fq &py, const Fq2 &qx,
     f = fq12_sqr(f);
     f = fq12_mul(f, line(tx, ty, tx, ty, true));
     // affine doubling of T
-    Fq2 lam = fq2_mul(fq2_scalar(fq2_sqr(tx), 3),
-                      fq2_inv(fq2_scalar(ty, 2)));
+    Fq2 den = fq2_scalar(ty, 2);
+    if (fq2_is_zero(den)) *degenerate = true;
+    Fq2 lam = fq2_mul(fq2_scalar(fq2_sqr(tx), 3), fq2_inv(den));
     Fq2 x3 = fq2_sub(fq2_sqr(lam), fq2_scalar(tx, 2));
     Fq2 y3 = fq2_sub(fq2_mul(lam, fq2_sub(tx, x3)), ty);
     tx = x3; ty = y3;
     if ((BLS_X >> i) & 1) {
       f = fq12_mul(f, line(tx, ty, qx, qy, false));
-      Fq2 lam2 = fq2_mul(fq2_sub(qy, ty), fq2_inv(fq2_sub(qx, tx)));
+      Fq2 den2 = fq2_sub(qx, tx);
+      if (fq2_is_zero(den2)) *degenerate = true;
+      Fq2 lam2 = fq2_mul(fq2_sub(qy, ty), fq2_inv(den2));
       Fq2 x3a = fq2_sub(fq2_sub(fq2_sqr(lam2), tx), qx);
       Fq2 y3a = fq2_sub(fq2_mul(lam2, fq2_sub(tx, x3a)), ty);
       tx = x3a; ty = y3a;
@@ -368,18 +377,22 @@ extern "C" {
 
 // g1s: n * 96 bytes (x||y big-endian affine); g2s: n * 192 bytes
 // (x0||x1||y0||y1 big-endian affine, c0-first). Infinity pairs must be
-// filtered out by the caller. Returns 1 iff prod e(P_i, Q_i) == 1.
+// filtered out by the caller. Returns 1 iff prod e(P_i, Q_i) == 1, 0 if not,
+// -1 on degenerate input (a Miller-loop line denominator hit zero — only
+// possible for non-r-torsion G2 points; callers must treat it as reject).
 int zkp_pairing_product_is_one(const uint8_t *g1s, const uint8_t *g2s,
                                int n) {
   Fq12 f = fq12_one();
+  bool degenerate = false;
   for (int i = 0; i < n; i++) {
     const uint8_t *g1 = g1s + 96 * i;
     const uint8_t *g2 = g2s + 192 * i;
     Fq px = fq_from_be(g1), py = fq_from_be(g1 + 48);
     Fq2 qx = {fq_from_be(g2), fq_from_be(g2 + 48)};
     Fq2 qy = {fq_from_be(g2 + 96), fq_from_be(g2 + 144)};
-    f = fq12_mul(f, miller_loop(px, py, qx, qy));
+    f = fq12_mul(f, miller_loop(px, py, qx, qy, &degenerate));
   }
+  if (degenerate) return -1;
   return fq12_is_one(final_exp(f)) ? 1 : 0;
 }
 

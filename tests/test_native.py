@@ -40,12 +40,45 @@ def test_bilinearity_accept_reject(lib):
 
 
 def test_matches_oracle_single_pairing(lib):
-    """e(aP, Q)·e(-P, aQ) == 1 through the dispatching oracle entrypoint."""
+    """e(aP, Q)·e(-P, aQ) == 1 through the pure-Python oracle (never native)."""
     g1 = o.G1.from_affine(o.G1_GEN)
     g2 = o.G2.from_affine(o.G2_GEN)
     a = 987654321
     pairs = [(o.G1.mul(g1, a), g2), (o.G1.neg(g1), o.G2.mul(g2, a))]
     assert o.pairing_product_is_one(pairs)
+
+
+def test_native_and_oracle_agree_bit_identically(lib):
+    """Run BOTH implementations on identical pairs; accept/reject must match.
+
+    The oracle is pure Python by construction (it is the independent check
+    the native lib is validated against); this test is the explicit
+    both-implementations comparison ADVICE.md r1 asked for.
+    """
+    rnd = random.Random(29)
+    g1 = o.G1.from_affine(o.G1_GEN)
+    g2 = o.G2.from_affine(o.G2_GEN)
+    for trial in range(3):
+        a, b = rnd.randrange(1, o.R), rnd.randrange(1, o.R)
+        offset = trial  # trial 0 accepts, 1 and 2 reject
+        pairs = [(o.G1.mul(g1, a), o.G2.mul(g2, b)),
+                 (o.G1.neg(o.G1.mul(g1, (a * b + offset) % o.R)), g2)]
+        oracle_verdict = o.pairing_product_is_one(pairs)
+        native_verdict = native.pairing_product_is_one(_aff(pairs))
+        dispatch_verdict = native.pairing_check(pairs)
+        assert oracle_verdict == (offset == 0)
+        assert native_verdict == oracle_verdict
+        assert dispatch_verdict == oracle_verdict
+
+
+def test_pairing_check_dispatcher_infinity(lib):
+    """Infinity pairs are filtered before hitting the native ABI."""
+    g1 = o.G1.from_affine(o.G1_GEN)
+    g2 = o.G2.from_affine(o.G2_GEN)
+    assert native.pairing_check([]) is True
+    assert native.pairing_check([(o.G1.infinity(), g2)]) is True
+    assert native.pairing_check(
+        [(o.G1.infinity(), g2), (g1, g2), (o.G1.neg(g1), g2)]) is True
 
 
 def test_kzg_verify_through_native(lib):

@@ -23,9 +23,7 @@ from tests.conftest import TEST_SCALE, TEST_MACHINES_SCALE
 WB = 8  # 8-bit MSM windows: small bucket arrays for the CPU test backend
 
 
-@pytest.fixture(scope="module")
-def srs():
-    return Srs.generate(TEST_SCALE, TEST_MACHINES_SCALE, seed=42)
+# srs: the shared session-scoped fixture from conftest.py (disk-cached)
 
 
 @pytest.fixture(scope="module")

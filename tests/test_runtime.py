@@ -9,7 +9,6 @@ math at toy scale (scale 6 / machines 2), fabricated network conditions.
 import numpy as np
 import pytest
 
-from zkp_subnet_tpu.models.srs import Srs
 from zkp_subnet_tpu.runtime import (Challenge, Coordinator,
                                     CoordinatorConfig, LocalTransport,
                                     MockTransport, Prove, Worker,
@@ -23,9 +22,7 @@ M = 1 << TEST_MACHINES_SCALE
 TIMEOUT = 30.0
 
 
-@pytest.fixture(scope="module")
-def srs():
-    return Srs.generate(TEST_SCALE, TEST_MACHINES_SCALE, seed=3)
+# srs: the shared session-scoped fixture from conftest.py (disk-cached)
 
 
 @pytest.fixture(scope="module")
@@ -233,3 +230,97 @@ def test_client_api(rig):
     assert client.verify(com, challenge.alpha, y, proof, index=0)
     assert not client.verify(com, challenge.alpha, y,
                              _corrupt_b64(proof), index=0)
+
+
+def test_reward_rejects_non_subgroup_point(rig):
+    """A commitment outside the r-torsion must score 0.0 (the deserializer
+    raises, the scoring path treats it as invalid)."""
+    from zkp_subnet_tpu.utils import encoding as enc
+    from zkp_subnet_tpu.utils import oracle as o
+    from tests.test_golden import _non_subgroup_g1
+    coord, workers, challenge, responses = rig
+    r = responses[0]
+    evil = enc.g1_to_b64(_non_subgroup_g1())
+    bad = Prove(index=r.index, poly=[], alpha=r.alpha, eval_=r.eval_,
+                commitment=evil, proof=r.proof, process_time=1.0)
+    assert coord.reward(challenge, bad) == 0.0
+    assert not workers[0].worker_verify(
+        r.index, r.proof, challenge.alpha, challenge.evals[r.index], evil)
+
+
+def test_reward_rejects_replayed_index(rig):
+    """A response echoing a different index than dispatched scores 0.0
+    even when the (index, commitment, proof) triple itself verifies
+    (ADVICE r1: replay of another worker's response)."""
+    coord, _, challenge, responses = rig
+    replay = responses[1]          # a complete, valid response for row 1
+    replay.process_time = 1.0
+    assert coord.reward(challenge, replay, expected_index=1) > 0.0
+    assert coord.reward(challenge, replay, expected_index=0) == 0.0
+
+
+def test_resync_shrink(srs):
+    """Shrinking membership truncates scores so set_weights never emits
+    out-of-range uids (ADVICE r1)."""
+    coord = Coordinator(srs, CoordinatorConfig(), hotkeys=list("abcd"))
+    coord.scores = np.array([0.1, 0.2, 0.3, 0.4], dtype=np.float32)
+    coord.resync(["a", "b"])
+    assert len(coord.scores) == 2
+    uids, _ = coord.set_weights()
+    assert uids.max(initial=-1) < 2
+    assert len(coord.serving) == 2
+
+
+def test_availability_sampling(srs):
+    coord = Coordinator(srs, CoordinatorConfig(vpermit_tao_limit=100.0),
+                        hotkeys=[f"hk{i}" for i in range(8)], seed=4)
+    coord.serving[5] = False                       # not serving → excluded
+    coord.validator_permit[6] = True
+    coord.stake[6] = 1000.0                        # high-stake validator → out
+    coord.validator_permit[7] = True
+    coord.stake[7] = 50.0                          # low-stake validator → in
+    pool = [u for u in range(8) if coord.check_uid_availability(u)]
+    assert pool == [0, 1, 2, 3, 4, 7]
+    for _ in range(10):
+        got = coord.get_random_uids(6)
+        assert 5 not in got and 6 not in got
+    # exclude semantics: excluded uids return only when the pool runs dry
+    got = coord.get_random_uids(3, exclude=[0, 1, 2])
+    assert set(got) <= {3, 4, 7}
+    got = coord.get_random_uids(6, exclude=[0])
+    assert len(got) == 6 and 0 in got
+
+
+def test_should_set_weights_cadence(srs):
+    cfg = CoordinatorConfig(epoch_length=3)
+    coord = Coordinator(srs, cfg, hotkeys=list("ab"))
+    assert not coord.should_set_weights()          # never at step 0
+    coord.step = 2
+    assert not coord.should_set_weights()
+    coord.step = 3
+    assert coord.should_set_weights()
+    coord.last_weights_step = 3
+    coord.step = 5
+    assert not coord.should_set_weights()
+    coord.step = 6
+    assert coord.should_set_weights()
+    coord.config.disable_set_weights = True
+    assert not coord.should_set_weights()
+
+
+def test_run_loop(srs, tmp_path):
+    """Continuous validator loop: concurrent forwards, epoch-cadenced
+    weight emission, state checkpoint each sync (reference:
+    base/validator.py:128-180)."""
+    import asyncio
+    hotkeys = [f"hk{i}" for i in range(M)]
+    workers = {i: Worker(srs, members=set(hotkeys)) for i in range(M)}
+    cfg = CoordinatorConfig(sample_size=M, timeout=600.0, epoch_length=2,
+                            num_concurrent_forwards=2,
+                            state_dir=str(tmp_path))
+    coord = Coordinator(srs, cfg, hotkeys=hotkeys, seed=8)
+    ok = asyncio.run(coord.run(LocalTransport(workers), rounds=4))
+    assert ok >= 4 and coord.step >= 4
+    assert coord.last_weights_step > 0             # epoch cadence fired
+    assert (tmp_path / "state.npz").exists()
+    assert coord.scores.max() > 0.0

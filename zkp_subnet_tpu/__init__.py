@@ -15,6 +15,12 @@ import jax
 
 __version__ = "0.2.0"
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honor our own knob
+# so CLI/bench runs can be forced onto a backend (the config route works).
+_platform = os.environ.get("ZKP_TPU_PLATFORM")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
+
 
 def _host_fingerprint() -> str:
     """Backend- and CPU-feature-keyed cache namespace.

@@ -8,13 +8,23 @@
 ``round`` runs one full coordinator challenge round against in-process
 workers (the reference's miner/validator loop collapsed onto one host), and
 ``aggregate`` additionally folds the sub-proofs into one bivariate proof.
+``run`` is the continuous validator loop (reference:
+base/validator.py:128-180): concurrent forwards, epoch-cadenced weight
+emission, state checkpointing each sync.
 """
 
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 import sys
+
+# CLI polish: XLA:CPU logs a benign-but-noisy cpu_aot_loader error for every
+# persistent-cache entry (pseudo-features like +prefer-no-scatter are absent
+# from its host feature probe); the cache still hits. Real failures surface
+# as Python exceptions regardless. Users can override with their own value.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 
 def _setup(args) -> int:
@@ -62,6 +72,10 @@ def _round(args) -> int:
                                timeout=args.timeout), hotkeys=hotkeys)
     transport = LocalTransport(workers)
 
+    # compile before the clock starts — the challenge deadline measures
+    # proving, not XLA compilation (workers share the cached program)
+    print(f"warmup: {workers[0].warmup():.1f}s", file=sys.stderr)
+
     challenge, responses, rewards = coord.run_round(transport)
     for r, rew in zip(responses, rewards):
         print(f"worker {r.index}: reward={rew:.3f} "
@@ -76,6 +90,41 @@ def _round(args) -> int:
     uids, weights = coord.set_weights()
     print(f"weights: {dict(zip(uids.tolist(), weights.tolist()))}")
     return 0
+
+
+def _run(args) -> int:
+    """Continuous loop: ``run --rounds K`` exercises the epoch cadence."""
+    import asyncio
+
+    from .runtime import (Coordinator, CoordinatorConfig, LocalTransport,
+                          ProverConfig, Worker, WorkerConfig)
+
+    srs = _load_srs(args)
+    m = srs.machines
+    prover = ProverConfig(scale=srs.scale,
+                          machines_scale=srs.machines_scale,
+                          setup_path=args.setup_path,
+                          precompute_path=args.precompute_path)
+    hotkeys = [f"worker-{i}" for i in range(m)]
+    workers = {i: Worker(srs, WorkerConfig(prover=prover),
+                         members=set(hotkeys)) for i in range(m)}
+    cfg = CoordinatorConfig(
+        prover=prover, sample_size=m, timeout=args.timeout,
+        epoch_length=args.epoch_length,
+        num_concurrent_forwards=args.num_concurrent_forwards,
+        disable_set_weights=args.disable_set_weights,
+        state_dir=args.state_dir)
+    coord = Coordinator(srs, cfg, hotkeys=hotkeys)
+    if coord.load_state():
+        print(f"resumed from {cfg.state_dir}/state.npz at step {coord.step}")
+    print(f"warmup: {workers[0].warmup():.1f}s", file=sys.stderr)
+    ok = asyncio.run(coord.run(LocalTransport(workers), rounds=args.rounds))
+    uids, weights = coord.last_weights or ((), ())
+    print(f"{ok} forwards ok, step={coord.step}, "
+          f"last_weights_step={coord.last_weights_step}, "
+          f"scores_max={coord.scores.max():.3f}")
+    print(f"state saved to {coord.save_state()}")
+    return 0 if ok > 0 else 1
 
 
 def main(argv=None) -> int:
@@ -112,7 +161,32 @@ def main(argv=None) -> int:
         rp.add_argument("--seed", type=int, default=0)
         rp.set_defaults(fn=_round, aggregate=agg)
 
+    lp = sub.add_parser("run", help="continuous validator loop")
+    lp.add_argument("--setup-path", dest="setup_path", default="./setup.npz")
+    lp.add_argument("--precompute-path", dest="precompute_path",
+                    default="./precompute.npz")
+    lp.add_argument("--scale", type=int, default=6)
+    lp.add_argument("--machines-scale", dest="machines_scale",
+                    type=int, default=2)
+    lp.add_argument("--timeout", type=float, default=30.0)
+    lp.add_argument("--seed", type=int, default=0)
+    lp.add_argument("--rounds", type=int, default=10)
+    lp.add_argument("--neuron.epoch_length", dest="epoch_length",
+                    type=int, default=100)
+    lp.add_argument("--neuron.num_concurrent_forwards",
+                    dest="num_concurrent_forwards", type=int, default=1)
+    lp.add_argument("--neuron.disable_set_weights",
+                    dest="disable_set_weights", action="store_true")
+    lp.add_argument("--neuron.state_dir", dest="state_dir",
+                    default="./state")
+    lp.set_defaults(fn=_run)
+
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="INFO-level logs from coordinator/worker/transport")
     args = p.parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
     return args.fn(args)
 
 

@@ -21,6 +21,7 @@ from ..ops import curve as cv
 from ..ops import msm as jmsm
 from ..ops import poly as jpoly
 from ..utils import oracle as o
+from ..utils import native
 
 
 def commit(bases: jnp.ndarray, coeffs: jnp.ndarray,
@@ -51,7 +52,7 @@ def verify(commitment, x: int, y: int, proof,
     base = shift_g1 if shift_g1 is not None else o.G1.from_affine(o.G1_GEN)
     c_minus = o.G1.add(commitment, o.G1.neg(o.G1.mul(base, y)))
     tau_minus_x = o.G2.add(g2_tau, o.G2.neg(o.G2.mul(g2_gen, x)))
-    return o.pairing_product_is_one([
+    return native.pairing_check([
         (c_minus, o.G2.neg(g2_gen)),
         (proof, tau_minus_x),
     ])

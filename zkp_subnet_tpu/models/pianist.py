@@ -42,6 +42,7 @@ from ..ops import ntt as jntt
 from ..ops import poly as jpoly
 from ..utils import oracle as o
 from ..utils import encoding as enc
+from ..utils import native
 from .srs import Srs
 from . import kzg
 
@@ -186,14 +187,14 @@ def verify_aggregated(srs: Srs, agg: AggregatedProof, alpha: int,
     # X opening: e(C − C_y, −G2)·e(W, [τ_X − α]G2) == 1
     tau_minus_a = o.G2.add(srs.g2_tau_x,
                            o.G2.neg(o.G2.mul(srs.g2_gen, alpha)))
-    ok_x = o.pairing_product_is_one([
+    ok_x = native.pairing_check([
         (o.G1.add(C, o.G1.neg(C_y)), o.G2.neg(srs.g2_gen)),
         (W, tau_minus_a),
     ])
     # Y opening: e(C_y − v·G1, −G2)·e(W_y, [τ_Y − β]G2) == 1
     tau_minus_b = o.G2.add(srs.g2_tau_y,
                            o.G2.neg(o.G2.mul(srs.g2_gen, beta)))
-    ok_y = o.pairing_product_is_one([
+    ok_y = native.pairing_check([
         (o.G1.add(C_y, o.G1.neg(o.G1.mul(g1, value))), o.G2.neg(srs.g2_gen)),
         (W_y, tau_minus_b),
     ])

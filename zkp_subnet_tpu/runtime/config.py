@@ -50,6 +50,7 @@ class CoordinatorConfig:
     moving_average_alpha: float = 0.1
     epoch_length: int = 100
     disable_set_weights: bool = False
+    vpermit_tao_limit: float = 4096.0
     state_dir: str = "./state"
 
 
@@ -88,6 +89,8 @@ def add_coordinator_args(p: argparse.ArgumentParser) -> None:
                    default=100)
     p.add_argument("--neuron.disable_set_weights",
                    dest="disable_set_weights", action="store_true")
+    p.add_argument("--neuron.vpermit_tao_limit", dest="vpermit_tao_limit",
+                   type=float, default=4096.0)
     p.add_argument("--neuron.state_dir", dest="state_dir", default="./state")
 
 
@@ -112,4 +115,5 @@ def coordinator_config(ns: argparse.Namespace) -> CoordinatorConfig:
         moving_average_alpha=ns.moving_average_alpha,
         epoch_length=ns.epoch_length,
         disable_set_weights=ns.disable_set_weights,
+        vpermit_tao_limit=ns.vpermit_tao_limit,
         state_dir=ns.state_dir)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import asyncio
 import dataclasses
+import logging
 import os
 import random
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -30,6 +31,8 @@ from ..utils import encoding as enc
 from ..utils import oracle as o
 from .config import CoordinatorConfig
 from .protocol import Prove
+
+log = logging.getLogger("zkp_subnet_tpu.coordinator")
 
 
 @dataclasses.dataclass
@@ -63,6 +66,13 @@ class Coordinator:
         self.rng = random.Random(seed)
         self.key = jax.random.PRNGKey(seed)
         self.last_weights: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.last_weights_step = 0
+        # Availability metadata, one entry per uid (reference:
+        # utils/uids.py:25-45 — axon serving flag, validator permit, stake).
+        n = len(self.hotkeys)
+        self.serving = np.ones(n, dtype=bool)
+        self.validator_permit = np.zeros(n, dtype=bool)
+        self.stake = np.zeros(n, dtype=np.float32)
 
     # -- challenge generation (reference: neurons/validator.py:106-120) -----
 
@@ -90,27 +100,58 @@ class Coordinator:
 
     # -- uid sampling (reference: utils/uids.py:47-82) ----------------------
 
+    def check_uid_availability(self, uid: int) -> bool:
+        """A uid is queryable iff it is serving AND (no validator permit OR
+        stake within the vpermit limit) — reference: utils/uids.py:25-45.
+        High-stake validators are excluded from miner sampling because they
+        answer no challenges; everyone else counts."""
+        if not self.serving[uid]:
+            return False
+        if self.validator_permit[uid] and \
+                self.stake[uid] > self.config.vpermit_tao_limit:
+            return False
+        return True
+
     def get_random_uids(self, k: int,
                         exclude: Optional[Sequence[int]] = None,
                         available: Optional[Sequence[int]] = None
                         ) -> List[int]:
-        pool = list(available if available is not None
-                    else range(len(self.hotkeys)))
-        if exclude:
-            pool = [u for u in pool if u not in set(exclude)]
-        k = min(k, len(pool))
-        return self.rng.sample(pool, k)
+        """Uniform sample over *available* miners (reference:
+        utils/uids.py:47-82): excluded uids drop out of the candidate pool
+        but re-enter if the pool would otherwise be smaller than k."""
+        if available is not None:
+            pool = list(available)
+        else:
+            pool = [u for u in range(len(self.hotkeys))
+                    if self.check_uid_availability(u)]
+        excluded = set(exclude or ())
+        preferred = [u for u in pool if u not in excluded]
+        if len(preferred) < k:
+            # top back up with excluded-but-available uids, reference
+            # utils/uids.py:66-74 semantics
+            preferred += [u for u in pool if u in excluded]
+        k = min(k, len(preferred))
+        return self.rng.sample(preferred, k)
 
     # -- scoring (reference: neurons/validator.py:135-192) ------------------
 
     def reward(self, challenge: Challenge, response: Prove,
-               timeout: Optional[float] = None) -> float:
+               timeout: Optional[float] = None,
+               expected_index: Optional[int] = None) -> float:
         """Latency-proportional score with hard validity gates:
-        0.0 for missing pieces, lateness, or a failed pairing check;
-        else 1 − process_time/timeout (reference: neurons/validator.py:176).
-        """
+        0.0 for missing pieces, lateness, a replayed index, or a failed
+        pairing check; else 1 − process_time/timeout (reference:
+        neurons/validator.py:176). ``expected_index`` is the row this
+        worker was *dispatched* — a response echoing a different index is
+        a replay of another worker's proof and scores 0.0 (the reference
+        freezes ``index`` in the synapse for exactly this reason,
+        base/protocol.py:37)."""
         timeout = self.config.timeout if timeout is None else timeout
         if not response.commitment or not response.proof:
+            return 0.0
+        if expected_index is not None and response.index != expected_index:
+            log.warning("uid response echoed index %s, dispatched %s: replay",
+                        response.index, expected_index)
             return 0.0
         if response.process_time is None or response.process_time > timeout:
             return 0.0
@@ -136,9 +177,14 @@ class Coordinator:
 
     def get_rewards(self, challenge: Challenge,
                     responses: Sequence[Prove],
-                    timeout: Optional[float] = None) -> np.ndarray:
-        return np.array([self.reward(challenge, r, timeout)
-                         for r in responses], dtype=np.float32)
+                    timeout: Optional[float] = None,
+                    expected_indices: Optional[Sequence[int]] = None
+                    ) -> np.ndarray:
+        if expected_indices is None:
+            expected_indices = [None] * len(responses)
+        return np.array([self.reward(challenge, r, timeout, expected_index=e)
+                         for r, e in zip(responses, expected_indices)],
+                        dtype=np.float32)
 
     def update_scores(self, rewards: np.ndarray,
                       uids: Sequence[int]) -> None:
@@ -170,14 +216,26 @@ class Coordinator:
     # -- membership churn (reference: base/validator.py:287-319) ------------
 
     def resync(self, new_hotkeys: Sequence[str]) -> None:
-        """Zero replaced identities; grow the score vector as needed."""
+        """Zero replaced identities; resize score/availability vectors both
+        ways (a shrinking membership must not leave stale scores that
+        set_weights would emit for out-of-range uids)."""
+        n_new = len(new_hotkeys)
         for uid, hk in enumerate(new_hotkeys[:len(self.hotkeys)]):
             if hk != self.hotkeys[uid]:
                 self.scores[uid] = 0.0
-        if len(new_hotkeys) > len(self.hotkeys):
-            grown = np.zeros(len(new_hotkeys), dtype=np.float32)
-            grown[:len(self.scores)] = self.scores
-            self.scores = grown
+        if n_new != len(self.scores):
+            resized = np.zeros(n_new, dtype=np.float32)
+            keep = min(n_new, len(self.scores))
+            resized[:keep] = self.scores[:keep]
+            self.scores = resized
+        for name, fill in (("serving", True), ("validator_permit", False),
+                           ("stake", 0.0)):
+            old = getattr(self, name)
+            resized = np.full(n_new, fill, dtype=old.dtype)
+            keep = min(n_new, len(old))
+            resized[:keep] = old[:keep]
+            setattr(self, name, resized)
+        log.info("resync: %d -> %d uids", len(self.hotkeys), n_new)
         self.hotkeys = list(new_hotkeys)
 
     # -- state (reference: base/validator.py:350-370) -----------------------
@@ -203,24 +261,79 @@ class Coordinator:
 
     async def forward(self, transport, timeout: Optional[float] = None
                       ) -> Tuple[Challenge, List[Prove], np.ndarray]:
-        """One challenge round: sample, dispatch, score, EMA-update."""
+        """One challenge round: sample, dispatch, score, EMA-update.
+
+        Row index = position in the sampled uid list (reference:
+        neurons/validator.py:209-222 dispatches synapse i to sampled miner
+        i), so every dispatched index is distinct — two uids never prove
+        the same row, and the echoed index is checked on the way back.
+        """
         timeout = self.config.timeout if timeout is None else timeout
         m = min(self.config.sample_size, len(self.hotkeys),
                 self.srs.machines)
         uids = self.get_random_uids(m)
         challenge = self.generate_challenge(self.srs.machines)
-        synapses = [challenge.to_synapse(u % self.srs.machines)
-                    for u in uids]
+        indices = list(range(len(uids)))
+        synapses = [challenge.to_synapse(i) for i in indices]
         responses = await transport.query(uids, synapses, timeout)
         if all(not r.commitment and not r.proof for r in responses):
             raise RuntimeError("all workers failed to respond")
-        rewards = self.get_rewards(challenge, responses, timeout)
+        rewards = self.get_rewards(challenge, responses, timeout,
+                                   expected_indices=indices)
         self.update_scores(rewards, uids)
         self.step += 1
+        log.info("round %d: %d uids, mean reward %.3f", self.step,
+                 len(uids), float(rewards.mean()) if len(rewards) else 0.0)
         return challenge, responses, rewards
 
     def run_round(self, transport, timeout: Optional[float] = None):
         return asyncio.run(self.forward(transport, timeout))
+
+    # -- continuous loop (reference: base/validator.py:122-180,
+    #    base/neuron.py:118-168) --------------------------------------------
+
+    def should_set_weights(self) -> bool:
+        """Epoch-cadenced weight emission gate (reference:
+        base/neuron.py:154-168): never at step 0, never when disabled,
+        only when a full epoch has elapsed since the last emission."""
+        if self.step == 0 or self.config.disable_set_weights:
+            return False
+        return (self.step - self.last_weights_step) >= \
+            self.config.epoch_length
+
+    def sync(self) -> None:
+        """Post-round bookkeeping (reference: base/neuron.py:118-132):
+        emit weights when the epoch is due, always checkpoint state."""
+        if self.should_set_weights():
+            uids, weights = self.set_weights()
+            self.last_weights_step = self.step
+            log.info("set_weights at step %d: %d nonzero", self.step,
+                     len(uids))
+        self.save_state()
+
+    async def run(self, transport, rounds: int,
+                  timeout: Optional[float] = None) -> int:
+        """The validator main loop (reference: base/validator.py:128-180):
+        ``num_concurrent_forwards`` forwards gathered per iteration, then
+        sync(). Exceptions are logged and the loop continues — supervision
+        parity with the reference's catch-and-continue (validator.py:177-180).
+        Returns the number of successful forwards."""
+        ok = 0
+        n_fwd = max(1, self.config.num_concurrent_forwards)
+        it = 0
+        while self.step < rounds:
+            it += 1
+            coros = [self.forward(transport, timeout) for _ in range(n_fwd)]
+            results = await asyncio.gather(*coros, return_exceptions=True)
+            for r in results:
+                if isinstance(r, BaseException):
+                    log.error("forward failed: %s", r)
+                else:
+                    ok += 1
+            self.sync()
+            if it > 4 * rounds + 8:   # all-failure safety valve
+                break
+        return ok
 
     # -- aggregation (the step the reference never wired) --------------------
 

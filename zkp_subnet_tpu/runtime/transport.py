@@ -11,12 +11,15 @@ optional proof corruption for the reward matrix.
 from __future__ import annotations
 
 import asyncio
+import logging
 import random
 import time
 from typing import Dict, List, Optional, Sequence
 
 from .protocol import Prove
 from .worker import Worker
+
+log = logging.getLogger("zkp_subnet_tpu.transport")
 
 
 class LocalTransport:
@@ -40,6 +43,8 @@ class LocalTransport:
                 timeout=timeout)
             return out
         except asyncio.TimeoutError:
+            log.warning("uid %d timed out after %.1fs (index %d)",
+                        uid, timeout, synapse.index)
             late = Prove(index=synapse.index, poly=[])
             late.status_code = 408
             late.process_time = timeout

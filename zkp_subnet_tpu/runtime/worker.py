@@ -11,6 +11,7 @@ set instead of the metagraph.
 from __future__ import annotations
 
 import functools
+import logging
 import time
 from typing import Callable, Optional, Set, Tuple
 
@@ -26,6 +27,8 @@ from ..utils import encoding as enc
 from ..utils import oracle as o
 from .config import WorkerConfig
 from .protocol import Prove
+
+log = logging.getLogger("zkp_subnet_tpu.worker")
 
 
 @functools.lru_cache(maxsize=32)
@@ -55,6 +58,20 @@ class Worker:
         self.members = members if members is not None else set()
         self.window_bits = window_bits
         self.compressed = not self.config.prover.uncompressed
+
+    def warmup(self) -> float:
+        """Compile + run the fused prove program once so the first real
+        challenge isn't charged for XLA compilation (the reference miner
+        likewise starts its prover and loads the SRS before serving,
+        base/miner.py:74-84). Returns the warmup wall time in seconds."""
+        t0 = time.perf_counter()
+        fn = _prove_row_fn(self.srs.row_size, self.window_bits)
+        row = FR.zeros((self.srs.row_size,))
+        jax.block_until_ready(
+            fn(self.srs.worker_bases[0], row, FR.zeros(())))
+        dt = time.perf_counter() - t0
+        log.info("warmup compiled prove program in %.1fs", dt)
+        return dt
 
     # -- RPC-parity compute surface (reference: neurons/miner.py:38-54) -----
 
@@ -117,17 +134,30 @@ class Worker:
                                    self.compressed))
             out.process_time = time.perf_counter() - t0
             return out
-        except Exception:
-            # parity: on error return the request unchanged
-            # (reference: neurons/miner.py:133-135)
+        except Exception as exc:
+            # parity: on error return the request unchanged, but LOG it —
+            # the reference logs before returning (neurons/miner.py:133-135)
+            log.error("forward failed for index %s: %s", synapse.index, exc)
             return synapse
 
-    def blacklist(self, caller: str) -> Tuple[bool, str]:
-        """(should_reject, reason) — reference: neurons/miner.py:63-82."""
+    def blacklist(self, caller: str,
+                  validator_permits: Optional[Set[str]] = None
+                  ) -> Tuple[bool, str]:
+        """(should_reject, reason) — reference: neurons/miner.py:63-82.
+
+        With ``force_validator_permit`` (the default, reference
+        utils/config.py:191-196) callers must also hold a validator permit;
+        pass the permit set from membership state. ``None`` skips the check
+        (static-mesh deployments where every member is the coordinator).
+        """
         if caller not in self.members:
             if self.config.allow_non_registered:
                 return False, "allow_non_registered"
             return True, f"unrecognized caller {caller!r}"
+        if (self.config.force_validator_permit
+                and validator_permits is not None
+                and caller not in validator_permits):
+            return True, f"caller {caller!r} lacks validator permit"
         return False, "ok"
 
     def priority(self, caller: str,

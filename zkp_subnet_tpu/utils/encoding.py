@@ -93,7 +93,15 @@ def g1_to_bytes(p, compressed: bool = True) -> bytes:
 
 
 def g1_from_bytes(raw: bytes):
-    """Deserialize to a Jacobian G1 point; validates curve membership."""
+    """Deserialize to a Jacobian G1 point.
+
+    Validates curve membership AND the r-torsion subgroup check — the G1
+    cofactor is ≠ 1, so an on-curve point can sit outside the prime-order
+    subgroup; the reference's arkworks deserialization rejects those and a
+    scoring path that accepted them would be an adversarial-worker surface
+    (reference: neurons/validator.py:77-86 feeds deserialized points
+    straight into worker_verify).
+    """
     flags = raw[0]
     compressed = bool(flags & _COMPRESSED)
     if compressed != (len(raw) == 48):
@@ -109,7 +117,10 @@ def g1_from_bytes(raw: bytes):
             raise ValueError("not on curve")
         if _y_is_largest(y) != bool(flags & _Y_SIGN):
             y = o.Q - y
-        return o.G1.from_affine((x, y))
+        p = o.G1.from_affine((x, y))
+        if not o.G1.in_subgroup(p):
+            raise ValueError("not in r-torsion subgroup")
+        return p
     if len(raw) != 96:
         raise ValueError("bad length")
     x = int.from_bytes(bytes([flags & 0x1F]) + raw[1:48], "big")
@@ -119,6 +130,8 @@ def g1_from_bytes(raw: bytes):
     p = o.G1.from_affine((x, y))
     if not o.G1.on_curve(p):
         raise ValueError("not on curve")
+    if not o.G1.in_subgroup(p):
+        raise ValueError("not in r-torsion subgroup")
     return p
 
 
@@ -171,12 +184,17 @@ def g2_from_bytes(raw: bytes):
         y0, y1 = y
         if ((y1, y0) > ((o.Q - y1) % o.Q, (o.Q - y0) % o.Q)) != bool(flags & _Y_SIGN):
             y = o.fq2_neg(y)
-        return o.G2.from_affine((x, y))
+        p = o.G2.from_affine((x, y))
+        if not o.G2.in_subgroup(p):
+            raise ValueError("not in r-torsion subgroup")
+        return p
     y1 = int.from_bytes(raw[96:144], "big")
     y0 = int.from_bytes(raw[144:], "big")
     p = o.G2.from_affine((x, (y0, y1)))
     if not o.G2.on_curve(p):
         raise ValueError("not on curve")
+    if not o.G2.in_subgroup(p):
+        raise ValueError("not in r-torsion subgroup")
     return p
 
 

@@ -58,6 +58,8 @@ def pairing_product_is_one(pairs) -> Optional[bool]:
 
     ``pairs``: [((px, py), ((qx0, qx1), (qy0, qy1))), ...] — canonical
     (non-Montgomery) ints, no points at infinity. None if unavailable.
+    The C side returns -1 when a Miller-loop line denominator is zero
+    (only reachable for non-r-torsion inputs) — treated as reject here.
     """
     lib = load()
     if lib is None:
@@ -67,4 +69,23 @@ def pairing_product_is_one(pairs) -> Optional[bool]:
     g2 = b"".join(qx[0].to_bytes(48, "big") + qx[1].to_bytes(48, "big") +
                   qy[0].to_bytes(48, "big") + qy[1].to_bytes(48, "big")
                   for _, (qx, qy) in pairs)
-    return bool(lib.zkp_pairing_product_is_one(g1, g2, len(pairs)))
+    return lib.zkp_pairing_product_is_one(g1, g2, len(pairs)) == 1
+
+
+def pairing_check(pairs) -> bool:
+    """Production pairing-product check over oracle Jacobian points.
+
+    Dispatches to the C++ library when it builds, else the pure-Python
+    oracle. The oracle itself never dispatches here (it is the independent
+    reference every implementation is validated against — see
+    oracle.pairing_product_is_one), so this is the only fast/slow switch.
+    """
+    from . import oracle as o
+    live = [(o.G1.to_affine(p), o.G2.to_affine(q)) for p, q in pairs
+            if not (o.G1.is_infinity(p) or o.G2.is_infinity(q))]
+    if not live:
+        return True
+    result = pairing_product_is_one(live)
+    if result is not None:
+        return result
+    return o.pairing_product_is_one(pairs)
