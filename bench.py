@@ -156,7 +156,8 @@ def bench_msm(log_n: int, bases16, extras):
     bases = (bases16 if n <= n16 else
              jnp.concatenate([bases16] * reps, axis=0))[:n]
 
-    fn = jax.jit(lambda pts, sc: jmsm.msm(pts, sc))
+    wb = jmsm.pick_window_bits(n)
+    fn = jax.jit(lambda pts, sc: jmsm.msm(pts, sc, window_bits=wb))
     key = jax.random.PRNGKey(7 + log_n)
     scs = [FR.from_mont(pn._uniform_fr(jax.random.fold_in(key, i), (n,)))
            for i in range(ITERS + 1)]
@@ -178,6 +179,7 @@ def bench_msm(log_n: int, bases16, extras):
         f"runs {[round(t, 3) for t in times]}, compile {compile_s:.1f}s")
     extras[f"msm_2^{log_n}_ms"] = round(med * 1000, 2)
     extras[f"msm_2^{log_n}_points_per_s"] = round(n / med)
+    extras[f"msm_2^{log_n}_window_bits"] = wb
 
 
 def _limbs_to_ints(limbs: np.ndarray):

@@ -136,3 +136,26 @@ def test_fft_parity(srs, challenge):
     ycoef = pianist.fft(rows, left=False, inverse=True)
     yback = pianist.fft(ycoef, left=False, inverse=False)
     assert (yback == rows).all()
+
+
+def test_srs_sidecar_save_load(srs, tmp_path, monkeypatch):
+    """Large-scale persistence path: worker_bases in a memmap sidecar .npy,
+    loaded eagerly and lazily (mmap) with identical content."""
+    monkeypatch.setattr(Srs, "_SIDE_CAR_LIMIT", 1)   # force the sidecar path
+    sp = str(tmp_path / "setup_6_2.npz")
+    pp = str(tmp_path / "precompute_6_2.npz")
+    srs.save(sp, pp)
+    assert (tmp_path / "precompute_6_2.npz.bases.npy").exists()
+    eager = Srs.load(sp, pp)
+    assert (jnp.asarray(eager.worker_bases) == srs.worker_bases).all()
+    lazy = Srs.load(sp, pp, lazy=True)
+    import numpy as np
+    assert isinstance(lazy.worker_bases, np.ndarray)   # host memmap
+    assert (np.asarray(lazy.worker_bases) ==
+            np.asarray(srs.worker_bases)).all()
+    # a lazy slice still drives the jitted prove path
+    row = jnp.asarray(FR.encode_vec([3] * srs.row_size))
+    com = pianist.worker_commit(srs, 0, row, window_bits=WB)
+    com_lazy = kzg.commit(jnp.asarray(lazy.worker_bases[0]), row,
+                          window_bits=WB)
+    assert (com == com_lazy).all()

@@ -25,14 +25,14 @@ from ..utils import native
 
 
 def commit(bases: jnp.ndarray, coeffs: jnp.ndarray,
-           window_bits: int = jmsm.DEFAULT_WINDOW_BITS) -> jnp.ndarray:
+           window_bits=None) -> jnp.ndarray:
     """[f(τ)]G1 from Montgomery-form coefficients. bases: (N, 3, L)."""
     scalars = FR.from_mont(coeffs)       # canonical limbs for digit windows
     return jmsm.msm_auto(bases, scalars, window_bits=window_bits)
 
 
 def open_(bases: jnp.ndarray, coeffs: jnp.ndarray, x: jnp.ndarray,
-          window_bits: int = jmsm.DEFAULT_WINDOW_BITS
+          window_bits=None
           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (eval f(x), proof [q(τ)]G1); x is (L,) Montgomery."""
     y, q = jpoly.poly_eval_and_quotient(coeffs, x)

@@ -53,13 +53,13 @@ from . import kzg
 
 
 def worker_commit(srs: Srs, i: int, row: jnp.ndarray,
-                  window_bits: int = jmsm.DEFAULT_WINDOW_BITS) -> jnp.ndarray:
+                  window_bits=None) -> jnp.ndarray:
     """Commitment of worker i's row (coefficients, Montgomery form)."""
     return kzg.commit(srs.worker_bases[i], row, window_bits)
 
 
 def worker_open(srs: Srs, i: int, row: jnp.ndarray, x: jnp.ndarray,
-                window_bits: int = jmsm.DEFAULT_WINDOW_BITS):
+                window_bits=None):
     """(f_i(x), W_i) for worker i; x (L,) Montgomery."""
     return kzg.open_(srs.worker_bases[i], row, x, window_bits)
 
@@ -73,7 +73,7 @@ def worker_verify(srs: Srs, i: int, proof, alpha: int, eval_: int,
 
 
 def commit_all(srs: Srs, rows: jnp.ndarray,
-               window_bits: int = jmsm.DEFAULT_WINDOW_BITS) -> jnp.ndarray:
+               window_bits=None) -> jnp.ndarray:
     """All workers' commitments: rows (M, T, L) → (M, 3, L)."""
     return jax.vmap(
         lambda b, r: kzg.commit(b, r, window_bits)
@@ -81,7 +81,7 @@ def commit_all(srs: Srs, rows: jnp.ndarray,
 
 
 def open_all(srs: Srs, rows: jnp.ndarray, x: jnp.ndarray,
-             window_bits: int = jmsm.DEFAULT_WINDOW_BITS):
+             window_bits=None):
     """All workers' openings at the shared point x."""
     return jax.vmap(
         lambda b, r: kzg.open_(b, r, x, window_bits)
@@ -114,7 +114,7 @@ def _lagrange_eval_domain(m: int):
 def aggregate_core(lagrange_y: jnp.ndarray, commitments: jnp.ndarray,
                    proofs: jnp.ndarray, evals: jnp.ndarray,
                    beta: jnp.ndarray, dom: jnp.ndarray, m_inv: jnp.ndarray,
-                   window_bits: int = jmsm.DEFAULT_WINDOW_BITS):
+                   window_bits=None):
     """Traceable aggregation math (no host constants computed inside).
 
     All inputs are arrays: lagrange_y (M, 3, Lq), commitments/proofs
@@ -161,7 +161,7 @@ def aggregation_constants(m: int):
 
 def aggregate(srs: Srs, commitments: jnp.ndarray, proofs: jnp.ndarray,
               evals: jnp.ndarray, beta: jnp.ndarray,
-              window_bits: int = jmsm.DEFAULT_WINDOW_BITS) -> AggregatedProof:
+              window_bits=None) -> AggregatedProof:
     """Fold per-worker sub-proofs into a single bivariate opening at (α, β).
 
     commitments/proofs: (M, 3, L); evals: (M, L) Montgomery; beta (L,).

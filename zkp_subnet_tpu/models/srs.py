@@ -14,8 +14,12 @@ slice U_i[j] = [R_i(τ_Y)·τ_X^j]G1, so Σ_i com_i = [f(τ_X, τ_Y)]G1 — the
 per-worker proofs aggregate by plain point addition, which is what the
 reference documents but never wired (reference: neurons/validator.py:194-198).
 
-SRS generation runs on TPU: powers of τ via log-depth doubling, then one
-batched double-and-add scalar multiplication of the generator.
+SRS generation runs on TPU: powers of τ via log-depth doubling, then a
+fixed-base comb multiplication (precomputed generator window tables —
+W lookups + adds per scalar instead of 256 double-and-add steps), chunked so
+device memory stays bounded at any scale. At the reference mainnet size
+(scale 24 / machines 8, reference: Makefile:63-87) that is 2^24 scalars in
+2^16-sized chunks.
 """
 
 from __future__ import annotations
@@ -35,6 +39,38 @@ from ..utils import oracle as o
 from ..utils import encoding as enc
 
 FORMAT_VERSION = 1
+
+#: scalars per fixed-base chunk during SRS generation — bounds device
+#: memory to ~chunk·(3·24·4 + tables) bytes regardless of scale
+GEN_CHUNK = 1 << 16
+
+
+def _fixed_base_chunked(scalars_canonical: "jnp.ndarray") -> "jnp.ndarray":
+    """[k]G for (N, 16) canonical scalars via the comb tables, in fixed-shape
+    chunks (one compiled program; final chunk zero-padded then trimmed)."""
+    tables = cv.g1_fixed_base_tables()
+    n = scalars_canonical.shape[0]
+    if n <= GEN_CHUNK:
+        # small problems: one call at the next power-of-two shape to bound
+        # the number of distinct compiled shapes
+        target = max(16, 1 << (n - 1).bit_length())
+        pad = target - n
+        if pad:
+            scalars_canonical = jnp.concatenate(
+                [scalars_canonical,
+                 jnp.zeros((pad, FR.L), jnp.uint32)], axis=0)
+        return cv.g1_fixed_base_mul(tables, scalars_canonical)[:n]
+    pieces = []
+    for off in range(0, n, GEN_CHUNK):
+        chunk = scalars_canonical[off:off + GEN_CHUNK]
+        pad = GEN_CHUNK - chunk.shape[0]
+        if pad:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((pad, FR.L), jnp.uint32)], axis=0)
+        out = cv.g1_fixed_base_mul(tables, chunk)
+        pieces.append(np.asarray(jax.device_get(out), dtype=np.uint32))
+    host = np.concatenate(pieces, axis=0)[:n]
+    return jnp.asarray(host)
 
 
 def _lagrange_coeffs_at(tau_y: int, m: int) -> List[int]:
@@ -103,8 +139,6 @@ class Srs:
         m = 1 << machines_scale
         t = 1 << (scale - machines_scale)
 
-        gen = cv.g1_encode([o.G1.from_affine(o.G1_GEN)])[0]
-
         # [τ_X^j]G1 for j < t (per-worker row length; the full 2^scale
         # monomial basis is recoverable but unused by the Pianist flow)
         tx_mont = FR.encode([tau_x])[0]
@@ -115,12 +149,11 @@ class Srs:
         lag_mont = FR.encode_vec(lag)                       # (m, L)
         s = FR.mont_mul(lag_mont[:, None, :], pow_x[None, :, :])  # (m, t, L)
 
-        # one batched double-and-add over all scalars at once
+        # fixed-base comb multiplication, chunked: bounded device memory at
+        # any scale, one compiled program shape
         all_scalars = FR.from_mont(jnp.concatenate(
             [pow_x, s.reshape(m * t, FR.L), lag_mont], axis=0))
-        all_points = cv.g1_scalar_mul(
-            jnp.broadcast_to(gen, (all_scalars.shape[0], 3, FQ.L)),
-            all_scalars)
+        all_points = _fixed_base_chunked(all_scalars)
         g1_x = all_points[:t]
         worker_bases = all_points[t:t + m * t].reshape(m, t, 3, FQ.L)
         lagrange_y = all_points[t + m * t:]
@@ -136,8 +169,19 @@ class Srs:
 
     # -- persistence ---------------------------------------------------------
 
+    #: above this many coefficients, worker_bases goes to a sidecar .npy
+    #: written incrementally via memmap (npz would need the whole ~GBs
+    #: array compressed in memory; the sidecar also allows lazy/mmap loads)
+    _SIDE_CAR_LIMIT = 1 << 18
+
     def save(self, setup_path: str, precompute_path: str) -> None:
-        """Write setup (G1/G2 powers) and precompute (worker slices) files."""
+        """Write setup (G1/G2 powers) and precompute (worker slices) files.
+
+        Small scales: everything inside the two .npz files (v1 layout).
+        Large scales: worker_bases streams to ``<precompute>.bases.npy`` via
+        memmap, chunk by chunk — scale-24/8 (reference mainnet,
+        Makefile:63-87) writes 4.8 GB without ever holding a second copy.
+        """
         def host(x):
             return np.asarray(jax.device_get(x), dtype=np.uint32)
 
@@ -153,16 +197,33 @@ class Srs:
             g2_tau_y=np.frombuffer(enc.g2_to_bytes(self.g2_tau_y, False),
                                    dtype=np.uint8),
         )
-        np.savez_compressed(
-            precompute_path,
-            version=FORMAT_VERSION, scale=self.scale,
-            machines_scale=self.machines_scale,
-            worker_bases=host(self.worker_bases),
-            lagrange_y=host(self.lagrange_y),
-        )
+        m, t = self.machines, self.row_size
+        meta = dict(version=FORMAT_VERSION, scale=self.scale,
+                    machines_scale=self.machines_scale,
+                    lagrange_y=host(self.lagrange_y))
+        if m * t <= self._SIDE_CAR_LIMIT:
+            np.savez_compressed(precompute_path,
+                                worker_bases=host(self.worker_bases), **meta)
+            return
+        np.savez_compressed(precompute_path, sidecar=1, **meta)
+        side = np.lib.format.open_memmap(
+            self._sidecar_path(precompute_path), mode="w+",
+            dtype=np.uint32, shape=(m, t, 3, FQ.L))
+        for i in range(m):                      # one worker slice at a time
+            side[i] = host(self.worker_bases[i])
+        side.flush()
+
+    @staticmethod
+    def _sidecar_path(precompute_path: str) -> str:
+        return precompute_path + ".bases.npy"
 
     @classmethod
-    def load(cls, setup_path: str, precompute_path: str) -> "Srs":
+    def load(cls, setup_path: str, precompute_path: str,
+             lazy: bool = False) -> "Srs":
+        """Load an SRS pair. ``lazy=True`` keeps a sidecar worker_bases as a
+        read-only host memmap — per-worker slices (or mesh shards via
+        parallel.shard_srs) are paged in and transferred on first use, so a
+        host never materializes bases it doesn't own."""
         for path in (setup_path, precompute_path):
             if not os.path.exists(path):
                 raise FileNotFoundError(path)
@@ -173,10 +234,17 @@ class Srs:
         if int(s["scale"]) != int(p["scale"]) or \
                 int(s["machines_scale"]) != int(p["machines_scale"]):
             raise ValueError("setup/precompute mismatch")
+        if "worker_bases" in p.files:
+            bases = jnp.asarray(p["worker_bases"])
+        else:
+            bases = np.load(cls._sidecar_path(precompute_path),
+                            mmap_mode="r")
+            if not lazy:
+                bases = jnp.asarray(np.ascontiguousarray(bases))
         return cls(
             scale=int(s["scale"]), machines_scale=int(s["machines_scale"]),
             g1_x=jnp.asarray(s["g1_x"]),
-            worker_bases=jnp.asarray(p["worker_bases"]),
+            worker_bases=bases,
             lagrange_y=jnp.asarray(p["lagrange_y"]),
             g2_gen=enc.g2_from_bytes(s["g2_gen"].tobytes()),
             g2_tau_x=enc.g2_from_bytes(s["g2_tau_x"].tobytes()),

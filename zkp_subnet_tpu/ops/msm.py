@@ -33,9 +33,21 @@ import jax.numpy as jnp
 from .field import FQ, FR
 from .curve import (g1_add, g1_double, g1_infinity, g1_neg, g1_select)
 
-#: default window size; 16 aligns windows with scalar limbs (TPU), while
-#: tests use 8 to keep bucket arrays small on the CPU backend.
+#: default window size. Cost model per window: ~2N point-adds for the
+#: prefix scan + ~2·wb·2^wb for the bucket fill/scan, times 256/wb windows.
+#: 8-bit windows win below N≈2^20 (bucket machinery stays tiny); 16-bit
+#: windows only pay off once the 2N term dominates. ``msm_auto`` picks by N;
+#: this constant is the legacy explicit default.
 DEFAULT_WINDOW_BITS = 16
+
+#: N at which 16-bit windows overtake 8-bit ones (cost-model crossover,
+#: ~2^20; bench extras on real hardware can refine this)
+WIDE_WINDOW_THRESHOLD = 1 << 20
+
+
+def pick_window_bits(n: int) -> int:
+    """Size-aware window choice for the telescoping-bucket Pippenger."""
+    return 16 if n >= WIDE_WINDOW_THRESHOLD else 8
 
 
 def _shift_points(points, d: int):
@@ -194,10 +206,17 @@ def msm_naive(points, scalars):
     return g1_sum(g1_scalar_mul(points, scalars))
 
 
-def msm_auto(points, scalars, window_bits: int = DEFAULT_WINDOW_BITS):
-    """Dispatch to the naive or Pippenger path by problem size."""
-    if points.shape[0] <= NAIVE_THRESHOLD:
+def msm_auto(points, scalars, window_bits=None):
+    """Dispatch to the naive or Pippenger path by problem size.
+
+    window_bits=None picks the size-optimal window (``pick_window_bits``);
+    pass an explicit value to override (tests pin 8 for the CPU backend).
+    """
+    n = points.shape[0]
+    if n <= NAIVE_THRESHOLD:
         return msm_naive(points, scalars)
+    if window_bits is None:
+        window_bits = pick_window_bits(n)
     return msm(*pad_for_msm(points, scalars), window_bits=window_bits)
 
 

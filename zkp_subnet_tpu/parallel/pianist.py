@@ -125,7 +125,7 @@ def _build_prove(mesh: Mesh, window_bits: int):
 
 def prove(srs: Srs, rows: jnp.ndarray, alpha: jnp.ndarray,
           beta: jnp.ndarray, mesh: Mesh,
-          window_bits: int = jmsm.DEFAULT_WINDOW_BITS) -> DistributedProof:
+          window_bits=None) -> DistributedProof:
     """Full distributed Pianist prove as one SPMD program.
 
     rows: (B, M, T, L) Montgomery coefficients, sharded (batch, machines);

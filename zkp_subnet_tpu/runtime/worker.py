@@ -52,7 +52,7 @@ class Worker:
 
     def __init__(self, srs: Srs, config: Optional[WorkerConfig] = None,
                  members: Optional[Set[str]] = None,
-                 window_bits: int = jmsm.DEFAULT_WINDOW_BITS):
+                 window_bits=None):
         self.srs = srs
         self.config = config or WorkerConfig()
         self.members = members if members is not None else set()
