@@ -135,12 +135,46 @@ def test_state_roundtrip(srs, tmp_path):
     coord = Coordinator(srs, cfg, hotkeys=list("abc"))
     coord.scores = np.array([0.5, 0.25, 0.0], dtype=np.float32)
     coord.step = 7
+    coord.last_weights_step = 5
     coord.save_state()
     fresh = Coordinator(srs, cfg, hotkeys=[])
     assert fresh.load_state()
     assert fresh.step == 7
     assert fresh.hotkeys == ["a", "b", "c"]
     np.testing.assert_allclose(fresh.scores, coord.scores)
+    # epoch clock must survive a resume (ADVICE r2): otherwise a restarted
+    # validator emits weights on its first sync instead of waiting
+    assert fresh.last_weights_step == 5
+
+
+def test_load_state_resizes_availability(srs, tmp_path):
+    """Resuming into a larger membership must resize the availability
+    arrays alongside scores (ADVICE r2, medium): otherwise the first
+    forward's check_uid_availability raises IndexError."""
+    cfg = CoordinatorConfig(state_dir=str(tmp_path))
+    big = Coordinator(srs, cfg, hotkeys=list("abcdef"))
+    big.scores = np.linspace(0.6, 0.1, 6).astype(np.float32)
+    big.save_state()
+    fresh = Coordinator(srs, cfg, hotkeys=list("ab"))   # smaller at init
+    assert fresh.load_state()
+    assert len(fresh.hotkeys) == 6
+    for name in ("serving", "validator_permit", "stake", "scores"):
+        assert len(getattr(fresh, name)) == 6, name
+    # and every restored uid is now checkable without an IndexError
+    assert [fresh.check_uid_availability(u) for u in range(6)]
+
+
+def test_reward_out_of_range_index(rig):
+    """An attacker-controlled index outside the challenge is scored 0.0
+    even when expected_index is not passed (ADVICE r2, low): a negative
+    index must not alias another row's eval via Python indexing."""
+    coord, _, challenge, responses = rig
+    r = Prove(**{**responses[0].__dict__})
+    r.process_time = 1.0
+    r.index = -1
+    assert coord.reward(challenge, r) == 0.0
+    r.index = len(challenge.evals)
+    assert coord.reward(challenge, r) == 0.0
 
 
 # -- worker hooks (reference: tests/test_miner.py:124-159) -------------------

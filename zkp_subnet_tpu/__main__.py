@@ -20,11 +20,15 @@ import logging
 import os
 import sys
 
-# CLI polish: XLA:CPU logs a benign-but-noisy cpu_aot_loader error for every
-# persistent-cache entry (pseudo-features like +prefer-no-scatter are absent
-# from its host feature probe); the cache still hits. Real failures surface
-# as Python exceptions regardless. Users can override with their own value.
+# CLI polish, best-effort: XLA:CPU logs a benign-but-noisy cpu_aot_loader
+# E-line for every persistent-cache entry (pseudo-features like
+# +prefer-no-scatter are absent from its host feature probe); the cache
+# still hits. TF_CPP_MIN_LOG_LEVEL alone does not silence it (the line is
+# emitted at glog ERROR severity before TSL applies the TF filter), so the
+# absl floor is raised too. Some jaxlib builds still print it; that is
+# cosmetic — real failures surface as Python exceptions regardless.
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+os.environ.setdefault("ABSL_MIN_LOG_LEVEL", "3")
 
 
 def _setup(args) -> int:

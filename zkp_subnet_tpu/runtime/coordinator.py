@@ -149,6 +149,11 @@ class Coordinator:
         timeout = self.config.timeout if timeout is None else timeout
         if not response.commitment or not response.proof:
             return 0.0
+        # the echoed index is attacker-controlled: bound it before any use
+        # (a negative index would silently alias another row's eval via
+        # Python indexing — ADVICE r2, low)
+        if not 0 <= response.index < len(challenge.evals):
+            return 0.0
         if expected_index is not None and response.index != expected_index:
             log.warning("uid response echoed index %s, dispatched %s: replay",
                         response.index, expected_index)
@@ -244,7 +249,8 @@ class Coordinator:
         os.makedirs(self.config.state_dir, exist_ok=True)
         path = os.path.join(self.config.state_dir, "state.npz")
         np.savez(path, step=self.step, scores=self.scores,
-                 hotkeys=np.array(self.hotkeys, dtype=object))
+                 hotkeys=np.array(self.hotkeys, dtype=object),
+                 last_weights_step=self.last_weights_step)
         return path
 
     def load_state(self) -> bool:
@@ -255,6 +261,29 @@ class Coordinator:
         self.step = int(data["step"])
         self.scores = data["scores"].astype(np.float32)
         self.hotkeys = [str(h) for h in data["hotkeys"]]
+        # older state files predate this key; keep the epoch clock sane
+        # either way so a resumed validator waits out the epoch remainder
+        if "last_weights_step" in data:
+            self.last_weights_step = int(data["last_weights_step"])
+        else:
+            self.last_weights_step = self.step
+        # availability arrays must track the restored membership size, or
+        # check_uid_availability indexes out of bounds on the first forward
+        # after resuming into a grown metagraph (ADVICE r2, medium)
+        n = len(self.hotkeys)
+        if n != len(self.scores):
+            resized = np.zeros(n, dtype=np.float32)
+            keep = min(n, len(self.scores))
+            resized[:keep] = self.scores[:keep]
+            self.scores = resized
+        for name, fill in (("serving", True), ("validator_permit", False),
+                           ("stake", 0.0)):
+            old = getattr(self, name)
+            if len(old) != n:
+                resized = np.full(n, fill, dtype=old.dtype)
+                keep = min(n, len(old))
+                resized[:keep] = old[:keep]
+                setattr(self, name, resized)
         return True
 
     # -- round driving (reference: neurons/validator.py:122-133, 194-246) ---
@@ -317,11 +346,17 @@ class Coordinator:
         ``num_concurrent_forwards`` forwards gathered per iteration, then
         sync(). Exceptions are logged and the loop continues — supervision
         parity with the reference's catch-and-continue (validator.py:177-180).
-        Returns the number of successful forwards."""
+        Returns the number of successful forwards.
+
+        ``rounds`` counts rounds run by THIS call: a validator resumed from
+        state at step S runs through step S + rounds (a resumed process
+        previously compared against the absolute step and silently did
+        nothing when S >= rounds)."""
         ok = 0
         n_fwd = max(1, self.config.num_concurrent_forwards)
         it = 0
-        while self.step < rounds:
+        target = self.step + rounds
+        while self.step < target:
             it += 1
             coros = [self.forward(transport, timeout) for _ in range(n_fwd)]
             results = await asyncio.gather(*coros, return_exceptions=True)
