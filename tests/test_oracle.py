@@ -60,3 +60,38 @@ def test_ntt_roundtrip_and_eval():
     for k in [0, 1, 17, 31]:
         assert evals[k] == o.poly_eval(coeffs, pow(w, k, o.R))
     assert o.intt(evals) == coeffs
+
+
+def test_g1_fast_subgroup_check_equivalence():
+    """g1_in_subgroup_fast (GLV eigenvalue test) must agree with the exact
+    [r]P ladder on subgroup points, random curve points (cofactor ≠ 1, so
+    these are almost never in G1), and adversarial cofactor-order points
+    [r]Q — the class where an unsound eigenvalue test would false-accept."""
+    import random
+    rng = random.Random(1717)
+    g = o.G1.from_affine(o.G1_GEN)
+
+    def rand_curve_point():
+        while True:
+            x = rng.randrange(o.Q)
+            y = o.fq_sqrt((x * x % o.Q * x + o.G1_B) % o.Q)
+            if y is not None:
+                return o.G1.from_affine((x, y))
+
+    assert o.g1_in_subgroup_fast(o.G1.infinity())
+    assert o.g1_in_subgroup_fast(g)
+    for _ in range(5):
+        p = o.G1.mul(g, rng.randrange(1, o.R))
+        assert o.g1_in_subgroup_fast(p)
+    for _ in range(5):
+        q = rand_curve_point()
+        assert o.g1_in_subgroup_fast(q) == o.G1.in_subgroup(q)
+        # exact [r]Q (no mod-R reduction) → a point of cofactor order
+        cp, base, k = o.G1.infinity(), q, o.R
+        while k:
+            if k & 1:
+                cp = o.G1.add(cp, base)
+            base = o.G1.double(base)
+            k >>= 1
+        if not o.G1.is_infinity(cp):
+            assert not o.g1_in_subgroup_fast(cp)

@@ -110,3 +110,46 @@ def test_fft_roundtrip_distributed(mesh, inputs):
     coeff = par.fft(rows, mesh, left=True, inverse=True)
     back = par.fft(coeff, mesh, left=True, inverse=False)
     assert np.array_equal(np.asarray(back), np.asarray(rows))
+
+
+# ---------------------------------------------------------------------------
+# Scoring over the mesh (VERDICT r2 missing #1: compose the Coordinator's
+# reward/EMA/weights loop with mesh-resident workers)
+# ---------------------------------------------------------------------------
+
+
+def test_mesh_transport_scored_round(srs, sharded, mesh, tmp_path):
+    """Coordinator.run drives MeshTransport: one SPMD prove per round, real
+    pairing verification of every sliced-out response, nonzero weights."""
+    import asyncio
+    from zkp_subnet_tpu.runtime import (Coordinator, CoordinatorConfig,
+                                        MeshTransport)
+    hotkeys = [f"mesh{i}" for i in range(M)]
+    cfg = CoordinatorConfig(sample_size=M, timeout=600.0, epoch_length=1,
+                            state_dir=str(tmp_path))
+    coord = Coordinator(srs, cfg, hotkeys=hotkeys, seed=5)
+    transport = MeshTransport(sharded, mesh, window_bits=WB)
+    ok = asyncio.run(coord.run(transport, rounds=2))
+    assert ok == 2
+    assert coord.scores.max() > 0.0
+    uids, weights = coord.set_weights()
+    assert len(uids) > 0 and weights.max() == 65535
+
+
+def test_mesh_transport_rejects_corrupted_shard(srs, sharded, mesh):
+    """A corrupted shard's proof fails the pairing check and scores 0.0
+    while honest shards score > 0 (reference corruption scheme:
+    tests/test_validator.py:79-86, applied to the mesh path)."""
+    from zkp_subnet_tpu.runtime import (Coordinator, CoordinatorConfig,
+                                        MeshTransport)
+    hotkeys = [f"mesh{i}" for i in range(M)]
+    cfg = CoordinatorConfig(sample_size=M, timeout=600.0)
+    coord = Coordinator(srs, cfg, hotkeys=hotkeys, seed=6)
+    bad_uid = 2
+    transport = MeshTransport(sharded, mesh, window_bits=WB,
+                              corrupt_uids=[bad_uid])
+    challenge, responses, rewards = coord.run_round(transport)
+    # sample_size == M, so the corrupted uid is always dispatched: exactly
+    # one response fails the pairing check, the rest score > 0
+    assert (rewards > 0).sum() == M - 1
+    assert (rewards == 0.0).sum() == 1

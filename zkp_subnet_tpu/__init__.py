@@ -44,13 +44,29 @@ def _host_fingerprint() -> str:
 
 # Persistent compilation cache: XLA compiles of the big-integer programs are
 # expensive (minutes on the tunneled TPU backend); cache them across runs.
-_cache_dir = os.environ.get(
-    "ZKP_TPU_JAX_CACHE",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache", _host_fingerprint()))
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-except Exception:  # pragma: no cover - older jax without these knobs
-    pass
+#
+# CPU-platform runs (the test suite, virtual-mesh dryruns) leave it OFF
+# unless ZKP_TPU_JAX_CACHE is set explicitly: XLA:CPU AOT entries embed the
+# compiling machine's features (loading them elsewhere spams cpu_aot_loader
+# errors and risks SIGILL), and concurrent cache writes from parallel CPU
+# test processes have segfaulted inside the zstandard writer. TPU runs are
+# where the cache pays for itself; they keep it.
+def _want_persistent_cache() -> bool:
+    if os.environ.get("ZKP_TPU_JAX_CACHE"):
+        return True
+    plat = (_platform or getattr(jax.config, "jax_platforms", None)
+            or os.environ.get("JAX_PLATFORMS", ""))
+    return "cpu" not in str(plat)
+
+
+if _want_persistent_cache():
+    _cache_dir = os.environ.get(
+        "ZKP_TPU_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache", _host_fingerprint()))
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - older jax without these knobs
+        pass

@@ -1,0 +1,353 @@
+"""Lane-major field and curve arithmetic — the TPU hot-path engine.
+
+Layout: a batch of field elements is ``(..., L, N)`` — limbs on the TPU
+*sublane* axis (-2), the batch on the *lane* axis (-1). This is the transpose
+of ``ops.field``'s ``(..., L)`` layout, and it is what makes the math fast on
+TPU:
+
+- every element-wise op runs across N lanes (all 128 used, vs L=24/16 of 128
+  in the limb-minor layout — a ~5-8x raw utilization loss there);
+- the skew-reduction reshapes of the schoolbook limb product act on *leading*
+  axes, which are layout-free on TPU (the limb-minor layout paid a real
+  relayout gather for every pad/reshape on the minor axis);
+- carry scans shift along sublanes (cheap) instead of lanes.
+
+Measured on a real TPU v5e: the limb-minor ``FQ.mont_mul`` runs 64k Fq
+multiplies in ~215 ms; this layout runs the same bit-exact math in ~2 ms
+(see bench.py extras). The algorithms themselves are identical to
+``ops.field`` / ``ops.curve`` (separated-SOS Montgomery, Kogge-Stone carries,
+RCB15 complete formulas) and are pinned bit-exact against them in
+tests/test_lane.py.
+
+This file replaces the compute core of the reference's external Rust prover
+(reference: requirements.txt:3, neurons/miner.py:38-54) for the batched hot
+path; ``ops.field`` remains the API/runtime layout at the boundaries.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .field import PrimeField, FR, FQ, LIMB_BITS, LIMB_MASK
+
+__all__ = [
+    "LaneField", "LFR", "LFQ",
+    "to_lane", "from_lane", "pts_to_lane", "pts_from_lane",
+    "g1l_infinity", "g1l_add", "g1l_double", "g1l_neg", "g1l_select",
+    "g1l_sum",
+]
+
+
+def to_lane(a: jnp.ndarray) -> jnp.ndarray:
+    """(..., N, L) batch-layout field elements → (..., L, N) lane layout."""
+    return jnp.swapaxes(a, -1, -2)
+
+
+def from_lane(a: jnp.ndarray) -> jnp.ndarray:
+    """(..., L, N) lane layout → (..., N, L) batch layout."""
+    return jnp.swapaxes(a, -1, -2)
+
+
+def pts_to_lane(p: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3, L) points → (3, L, N) lane layout."""
+    return jnp.transpose(p, (1, 2, 0))
+
+
+def pts_from_lane(p: jnp.ndarray) -> jnp.ndarray:
+    """(3, L, N) lane layout → (N, 3, L)."""
+    return jnp.transpose(p, (2, 0, 1))
+
+
+class LaneField:
+    """Batched ops on (..., L, N) uint32 Montgomery-form limb arrays.
+
+    Mirrors ``PrimeField`` (ops/field.py) with the limb axis at -2. All ops
+    are branchless and jit/vmap-clean; bit-exactness vs PrimeField is pinned
+    by tests/test_lane.py.
+    """
+
+    def __init__(self, base: PrimeField):
+        self.base = base
+        self.L = base.L
+        self.p = base.p
+        # constants as (L, 1) columns — broadcast along lanes
+        self.p_col = base.p_limbs.reshape(base.L, 1)
+        self.np_col = base.nprime_limbs.reshape(base.L, 1)
+        self.one_col = base.one_mont.reshape(base.L, 1)
+        self.r2_col = base.r2_limbs.reshape(base.L, 1)
+
+    # -- shape helpers --------------------------------------------------------
+
+    def zeros(self, shape):
+        """shape = batch dims + (N,): returns (..., L, N) zeros."""
+        s = tuple(shape)
+        return jnp.zeros(s[:-1] + (self.L,) + s[-1:], dtype=jnp.uint32)
+
+    def ones(self, shape):
+        s = tuple(shape)
+        one = jnp.asarray(self.one_col, dtype=jnp.uint32)
+        return jnp.broadcast_to(one, s[:-1] + (self.L,) + s[-1:])
+
+    # -- carry machinery (limb axis = -2) --------------------------------------
+
+    @staticmethod
+    def _shift_up(x, d: int):
+        """Shift limbs (axis -2) toward higher significance by d."""
+        pad = [(0, 0)] * (x.ndim - 2) + [(d, 0), (0, 0)]
+        return jnp.pad(x, pad)[..., : x.shape[-2], :]
+
+    def _ks_carry(self, digits):
+        """Exact carry propagation for digits ≤ 2^16 → (limbs, carry_out)."""
+        n = digits.shape[-2]
+        g = digits >> LIMB_BITS
+        p = (digits == LIMB_MASK).astype(jnp.uint32)
+        d = 1
+        while d < n:
+            g = g | (p & self._shift_up(g, d))
+            p = p & self._shift_up(p, d)
+            d <<= 1
+        carry_in = self._shift_up(g, 1)
+        res = (digits + carry_in) & jnp.uint32(LIMB_MASK)
+        return res, g[..., -1, :]
+
+    def _ks_borrow(self, a, b):
+        g = (a < b).astype(jnp.uint32)
+        p = (a == b).astype(jnp.uint32)
+        n = a.shape[-2]
+        d = 1
+        while d < n:
+            g = g | (p & self._shift_up(g, d))
+            p = p & self._shift_up(p, d)
+            d <<= 1
+        borrow_in = self._shift_up(g, 1)
+        diff = (a - b - borrow_in) & jnp.uint32(LIMB_MASK)
+        return diff, g[..., -1, :]
+
+    def _sub_p_if_ge(self, v, extra=None):
+        p_vec = jnp.asarray(self.p_col, dtype=jnp.uint32)
+        diff, borrow = self._ks_borrow(v, jnp.broadcast_to(p_vec, v.shape))
+        if extra is not None:
+            use_diff = (extra | (1 - borrow)).astype(jnp.uint32)
+        else:
+            use_diff = (1 - borrow).astype(jnp.uint32)
+        mask = use_diff[..., None, :] * jnp.uint32(0xFFFFFFFF)
+        return (diff & mask) | (v & ~mask)
+
+    # -- add/sub ---------------------------------------------------------------
+
+    def add(self, a, b):
+        s = a + b
+        lo = s & jnp.uint32(LIMB_MASK)
+        hi = s >> LIMB_BITS
+        extra0 = hi[..., -1, :]
+        s = lo + self._shift_up(hi, 1)
+        res, cout = self._ks_carry(s)
+        return self._sub_p_if_ge(res, extra=extra0 | cout)
+
+    def sub(self, a, b):
+        d, borrow = self._ks_borrow(a, b)
+        p_vec = jnp.asarray(self.p_col, dtype=jnp.uint32)
+        s = d + p_vec
+        lo = s & jnp.uint32(LIMB_MASK)
+        s = lo + self._shift_up(s >> LIMB_BITS, 1)
+        dp, _ = self._ks_carry(s)
+        mask = borrow.astype(jnp.uint32)[..., None, :] * jnp.uint32(0xFFFFFFFF)
+        return (dp & mask) | (d & ~mask)
+
+    def neg(self, a):
+        return self.sub(jnp.zeros_like(a), a)
+
+    # -- multiply --------------------------------------------------------------
+
+    @staticmethod
+    def _skew_sum(rows, shift0: int, out_cols: int):
+        """Σ_i shift(rows[..., i, :, :], i + shift0) over limb columns.
+
+        rows: (..., n, m, N) — n product rows of m limb columns each.
+        Returns (..., out_cols, N). The row-i-starts-at-column-i layout is
+        produced by the pad/flatten/truncate/reshape skew trick on the two
+        *leading-of-lane* axes, which is layout-free on TPU.
+        """
+        n, m = rows.shape[-3], rows.shape[-2]
+        W = out_cols
+        assert shift0 + n - 1 + m - 1 < W, "skew would spill"
+        pad = [(0, 0)] * (rows.ndim - 3) + [
+            (0, 0), (shift0, W + 1 - m - shift0), (0, 0)]
+        padded = jnp.pad(rows, pad)
+        nn = rows.shape[-1]
+        flat = padded.reshape(padded.shape[:-3] + (n * (W + 1), nn))
+        flat = flat[..., : n * W, :]
+        return jnp.sum(flat.reshape(flat.shape[:-2] + (n, W, nn)), axis=-3)
+
+    def _mul_columns(self, a, b, out_cols: int):
+        """Unnormalized column sums of the limb product a·b.
+
+        a: (..., La, N), b: (..., Lb, N), limbs ≲ 2^16.
+        Returns (..., out_cols, N); every column < 4L·2^16 ≪ 2^32.
+        """
+        prods = a[..., :, None, :] * b[..., None, :, :]   # (..., La, Lb, N)
+        lo = prods & jnp.uint32(LIMB_MASK)
+        hi = prods >> LIMB_BITS
+        return (self._skew_sum(lo, 0, out_cols) +
+                self._skew_sum(hi, 1, out_cols))
+
+    def _norm2(self, t):
+        for _ in range(2):
+            t = (t & jnp.uint32(LIMB_MASK)) + self._shift_up(t >> LIMB_BITS, 1)
+        return t
+
+    def mont_mul(self, a, b):
+        """Montgomery product a·b·R^{-1} mod p (separated SOS; see
+        PrimeField.mont_mul for the algorithm notes)."""
+        L = self.L
+        a, b = jnp.broadcast_arrays(a, b)
+        shape = a.shape
+        p_vec = jnp.broadcast_to(
+            jnp.asarray(self.p_col, dtype=jnp.uint32), shape)
+        np_vec = jnp.broadcast_to(
+            jnp.asarray(self.np_col, dtype=jnp.uint32), shape)
+
+        T = self._mul_columns(a, b, 2 * L)
+        Tn = self._norm2(T)
+        m = self._norm2(
+            self._mul_columns(Tn[..., :L, :], np_vec, 2 * L)[..., :L, :])
+        U = self._mul_columns(m, p_vec, 2 * L)
+        S = Tn + U
+        pad = [(0, 0)] * (S.ndim - 2) + [(0, 1), (0, 0)]
+        S = jnp.pad(S, pad)
+        S = self._norm2(S)
+        S, _ = self._ks_carry(S)
+        return self._sub_p_if_ge(S[..., L:2 * L, :], extra=S[..., 2 * L, :])
+
+    def sqr(self, a):
+        return self.mont_mul(a, a)
+
+    def mul_const(self, a, c_limbs: np.ndarray):
+        """Multiply by a host constant given as (L,) Montgomery limbs."""
+        c = jnp.asarray(np.asarray(c_limbs).reshape(self.L, 1),
+                        dtype=jnp.uint32)
+        return self.mont_mul(a, jnp.broadcast_to(c, a.shape))
+
+    def from_mont(self, a):
+        one = np.zeros((self.L,), dtype=np.uint32)
+        one[0] = 1
+        return self.mul_const(a, one)
+
+    def to_mont(self, a):
+        return self.mul_const(a, self.base.r2_limbs)
+
+    # -- misc -------------------------------------------------------------------
+
+    def select(self, cond, a, b):
+        """cond ? a : b; cond shaped like the batch dims + (N,)."""
+        c = cond.astype(jnp.uint32)[..., None, :]
+        mask = c * jnp.uint32(0xFFFFFFFF)
+        return (a & mask) | (b & ~mask)
+
+    def is_zero(self, a):
+        return jnp.sum(a, axis=-2) == 0
+
+
+LFR = LaneField(FR)
+LFQ = LaneField(FQ)
+
+# 3*b = 12 for BLS12-381 (b = 4), Montgomery form, as an (L, 1) lane column
+_B3_COL = (FQ.to_limbs(12 * FQ.mont_r % FQ.p)).reshape(FQ.L, 1)
+
+
+def g1l_infinity(shape=()) -> jnp.ndarray:
+    """(0:1:0) broadcast to batch shape + (N,) lanes → (..., 3, L, N).
+
+    ``shape`` = batch dims + (N,); shape=() means a single point (N=1)."""
+    s = tuple(shape) if shape else (1,)
+    x = LFQ.zeros(s)
+    y = LFQ.ones(s)
+    return jnp.stack([x, y, x], axis=-3)
+
+
+def g1l_unpack(p):
+    return p[..., 0, :, :], p[..., 1, :, :], p[..., 2, :, :]
+
+
+def g1l_pack(x, y, z):
+    return jnp.stack([x, y, z], axis=-3)
+
+
+def _stk(*xs):
+    return jnp.stack(xs, axis=0)
+
+
+def g1l_add(p, q):
+    """Complete projective addition, lane layout (RCB15 Algorithm 7, a=0,
+    b3=12; same layer-batched structure as ops.curve.g1_add)."""
+    p, q = jnp.broadcast_arrays(p, q)
+    X1, Y1, Z1 = g1l_unpack(p)
+    X2, Y2, Z2 = g1l_unpack(q)
+    mul, add, sub = LFQ.mont_mul, LFQ.add, LFQ.sub
+
+    a1, a2, a3, a4, a5, a6 = add(_stk(X1, X2, Y1, Y2, X1, X2),
+                                 _stk(Y1, Y2, Z1, Z2, Z1, Z2))
+    t0, t1, t2, p1, p2, p3 = mul(_stk(X1, Y1, Z1, a1, a3, a5),
+                                 _stk(X2, Y2, Z2, a2, a4, a6))
+    s1, s2, s3, dbl0 = add(_stk(t0, t1, t0, t0), _stk(t1, t2, t2, t0))
+    t3, t4, ty = sub(_stk(p1, p2, p3), _stk(s1, s2, s3))
+    b3 = jnp.asarray(_B3_COL, dtype=jnp.uint32)
+    t2b, y3b = mul(_stk(t2, ty), jnp.broadcast_to(b3, (2,) + t2.shape))
+    z3t, t0t = add(_stk(t1, dbl0), _stk(t2b, t0))
+    t1t = sub(t1, t2b)
+    w0, w1, w2, w3, w4, w5 = mul(_stk(t3, t4, y3b, t1t, z3t, t0t),
+                                 _stk(t1t, y3b, t0t, z3t, t4, t3))
+    X3 = sub(w0, w1)
+    Y3, Z3 = add(_stk(w2, w4), _stk(w3, w5))
+    return g1l_pack(X3, Y3, Z3)
+
+
+def g1l_double(p):
+    """Complete projective doubling, lane layout (RCB15 Algorithm 9)."""
+    X, Y, Z = g1l_unpack(p)
+    mul, add, sub = LFQ.mont_mul, LFQ.add, LFQ.sub
+
+    t0, tyz, tzz, txy = mul(_stk(Y, Y, Z, X), _stk(Y, Z, Z, Y))
+    d1 = add(t0, t0)
+    d2 = add(d1, d1)
+    z8 = add(d2, d2)
+    b3 = jnp.asarray(_B3_COL, dtype=jnp.uint32)
+    t2b = mul(tzz, jnp.broadcast_to(b3, tzz.shape))
+    y3a, t1c = add(_stk(t0, t2b), _stk(t2b, t2b))
+    t2c = add(t1c, t2b)
+    t0b = sub(t0, t2c)
+    x3m, z3, y3m, x3o = mul(_stk(t2b, tyz, t0b, t0b),
+                            _stk(z8, z8, y3a, txy))
+    Y3 = add(x3m, y3m)
+    X3 = add(x3o, x3o)
+    return g1l_pack(X3, Y3, z3)
+
+
+def g1l_neg(p):
+    X, Y, Z = g1l_unpack(p)
+    return g1l_pack(X, LFQ.neg(Y), Z)
+
+
+def g1l_select(cond, p, q):
+    """cond ? p : q — cond shaped like the points' batch dims + (N,)."""
+    c = cond.astype(jnp.uint32)[..., None, None, :]
+    mask = c * jnp.uint32(0xFFFFFFFF)
+    return (p & mask) | (q & ~mask)
+
+
+def g1l_sum(points):
+    """Reduce (..., 3, L, N) over the lane axis to (..., 3, L, 1).
+
+    Halving tree over lanes: 2N point-add work, log2(N) sequential levels.
+    N must be a power of two."""
+    n = points.shape[-1]
+    assert n & (n - 1) == 0
+    while n > 1:
+        half = n // 2
+        points = g1l_add(points[..., :half], points[..., half:])
+        n = half
+    return points

@@ -4,14 +4,18 @@ Matches the reference prover's ``fft(poly, left, inverse)`` RPC semantics
 (reference: neurons/validator.py:58-65, used with left=True, inverse=True to
 move evaluation-form rows to coefficient form at validator.py:116).
 
-Design, TPU-first:
-- Small sizes (≤ 2^11): iterative decimation-in-time with bit-reversal done by
-  a pure axis transpose (no gathers) and one batched Montgomery multiply per
-  stage. Compiled once, reused via vmap.
+Design, TPU-first — all butterfly math runs in the lane-major engine
+(ops/lane.py: limbs on sublanes, data on lanes):
+
+- Small sizes (≤ 2^BASE_LOG): iterative decimation-in-time. The transform
+  index lives on *leading* axes (so every stage's even/odd split, twiddle
+  multiply, and concat are full-width, layout-free ops) while the *batch* of
+  independent transforms rides the lane axis — the base kernel is natively
+  R-batched, so the Bailey row/column sweeps below never run a thin kernel.
 - Large sizes: Bailey four-step decomposition N = n1·n2 — batched column
   NTTs, twiddle matrix multiply, batched row NTTs, one transpose. This keeps
   the compiled graph small (the base NTT is traced once per axis) and
-  expresses the data movement as dense transposes, which XLA maps to
+  expresses the data movement as dense corner-turns, which XLA maps to
   efficient TPU layouts; it is also the natural seam for multi-chip
   sharding (rows sharded over the mesh, the transpose becomes an all-to-all).
 Twiddle tables are generated on device (log-depth doubling) and cached.
@@ -26,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .field import FR
+from .lane import LFR
 from ..utils import oracle as o
 
 #: max log-size handled by the direct stage-unrolled kernel
@@ -63,31 +68,41 @@ def _twiddle_matrix(log_n1: int, log_n2: int, inverse: bool) -> jnp.ndarray:
 
 
 def _ntt_base(x: jnp.ndarray, tw: jnp.ndarray) -> jnp.ndarray:
-    """Direct DIT NTT for N ≤ 2^BASE_LOG. x: (N, L); tw: (N/2, L)."""
-    n = x.shape[0]
+    """Direct DIT NTT of R batched transforms. x: (R, n, L); tw: (n/2, L).
+
+    Lane-major internally: v is (n..., L, R) — the transform index on leading
+    axes (stage reshapes/slices/concats are all leading-axis ops, free on
+    TPU), the batch R on lanes (every butterfly is R lanes wide at every
+    stage, so there are no thin early/late stages).
+    """
+    R, n = x.shape[0], x.shape[1]
     log_n = n.bit_length() - 1
 
-    # Bit-reversal permutation as a transpose over the bit axes (no gathers).
-    y = x.reshape((2,) * log_n + (FR.L,))
-    y = jnp.transpose(y, tuple(reversed(range(log_n))) + (log_n,))
-    y = y.reshape(n, FR.L)
+    v = jnp.transpose(x, (1, 2, 0))              # (n, L, R)
+
+    # Bit-reversal permutation as a transpose over the leading bit axes.
+    v = v.reshape((2,) * log_n + (FR.L, R))
+    v = jnp.transpose(
+        v, tuple(reversed(range(log_n))) + (log_n, log_n + 1))
+    v = v.reshape(n, FR.L, R)
 
     for s in range(1, log_n + 1):
         m = 1 << s
         half = m // 2
         stride = (n // 2) // half
-        w = tw[::stride][:half]  # (half, L)
-        v = y.reshape(n // m, m, FR.L)
-        even, odd = v[:, :half], v[:, half:]
-        t = FR.mont_mul(odd, w[None, :, :])
-        y = jnp.concatenate([FR.add(even, t), FR.sub(even, t)],
-                            axis=1).reshape(n, FR.L)
-    return y
+        w = tw[::stride][:half]                  # (half, L)
+        wl = w[None, :, :, None]                 # (1, half, L, 1)
+        v4 = v.reshape(n // m, m, FR.L, R)
+        even, odd = v4[:, :half], v4[:, half:]
+        t = LFR.mont_mul(odd, wl)
+        v = jnp.concatenate(
+            [LFR.add(even, t), LFR.sub(even, t)], axis=1).reshape(n, FR.L, R)
+    return jnp.transpose(v, (2, 0, 1))           # (R, n, L)
 
 
-def _ntt_unscaled(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
-    """NTT without the 1/n inverse scaling. x: (N, L) Montgomery form."""
-    n = x.shape[0]
+def _ntt_batched(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Unscaled NTT of R batched size-n transforms. x: (R, n, L) Montgomery."""
+    R, n = x.shape[0], x.shape[1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "size must be a power of two"
     if log_n == 0:
@@ -99,16 +114,21 @@ def _ntt_unscaled(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     log_n2 = log_n - log_n1
     n1, n2 = 1 << log_n1, 1 << log_n2
     # A[s1, s2] = a[s1 + n1·s2]
-    A = jnp.transpose(x.reshape(n2, n1, FR.L), (1, 0, 2))
-    # inner transforms over s2 (n1 of size n2)
-    B = jax.vmap(lambda v: _ntt_unscaled(v, inverse))(A)
-    # twiddle: C[s1, t2] = B[s1, t2] · w^(s1·t2)
-    C = FR.mont_mul(B, _twiddle_matrix(log_n1, log_n2, inverse))
-    # outer transforms over s1 (n2 of size n1)
-    D = jax.vmap(lambda v: _ntt_unscaled(v, inverse))(
-        jnp.transpose(C, (1, 0, 2)))
-    # D[t2, t1] → out[t1·n2 + t2] = D[t2, t1]
-    return jnp.transpose(D, (1, 0, 2)).reshape(n, FR.L)
+    A = jnp.transpose(x.reshape(R, n2, n1, FR.L), (0, 2, 1, 3))
+    # inner transforms over s2 (R·n1 of size n2) — one natively-batched call
+    B = _ntt_batched(A.reshape(R * n1, n2, FR.L), inverse)
+    B = B.reshape(R, n1, n2, FR.L)
+    # twiddle: C[s1, t2] = B[s1, t2] · w^(s1·t2), lane-major (lanes = n2)
+    W = _twiddle_matrix(log_n1, log_n2, inverse)            # (n1, n2, L)
+    Bt = jnp.swapaxes(B, -1, -2)                            # (R, n1, L, n2)
+    Ct = LFR.mont_mul(Bt, jnp.swapaxes(W, -1, -2)[None])
+    C = jnp.swapaxes(Ct, -1, -2)                            # (R, n1, n2, L)
+    # outer transforms over s1 (R·n2 of size n1)
+    D = _ntt_batched(
+        jnp.transpose(C, (0, 2, 1, 3)).reshape(R * n2, n1, FR.L), inverse)
+    D = D.reshape(R, n2, n1, FR.L)
+    # out[t1·n2 + t2] = D[t2, t1]
+    return jnp.transpose(D, (0, 2, 1, 3)).reshape(R, n, FR.L)
 
 
 def _ensure_tables(log_n: int, inverse: bool) -> None:
@@ -126,12 +146,14 @@ def _ensure_tables(log_n: int, inverse: bool) -> None:
 
 @functools.partial(jax.jit, static_argnames=("inverse",))
 def _ntt_jit(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
-    y = _ntt_unscaled(x, inverse)
+    """Batched NTT/iNTT over axis -2 of (..., N, L) Montgomery values."""
+    shape = x.shape
+    y = _ntt_batched(x.reshape(-1, shape[-2], FR.L), inverse)
     if inverse:
-        n = x.shape[0]
+        n = shape[-2]
         n_inv_mont = pow(n, o.R - 2, o.R) * FR.mont_r % o.R
         y = FR.mul_const(y, FR.to_limbs(n_inv_mont))
-    return y
+    return y.reshape(shape)
 
 
 def ntt(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
@@ -149,8 +171,8 @@ def intt(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def ntt_batch(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """Batched NTT over axis -2: x (..., N, L)."""
-    fn = lambda v: ntt(v, inverse)
-    for _ in range(x.ndim - 2):
-        fn = jax.vmap(fn)
-    return fn(x)
+    """Batched NTT over axis -2: x (..., N, L). All transforms in the batch
+    run inside ONE natively-batched kernel (the batch rides the lane axis)."""
+    log_n = x.shape[-2].bit_length() - 1
+    _ensure_tables(log_n, inverse)
+    return _ntt_jit(x, inverse=inverse)

@@ -77,13 +77,13 @@ class Worker:
 
     def worker_commit(self, i: int, poly_b64) -> str:
         """b64 row → b64 commitment."""
-        row = FR.encode_vec(enc.poly_from_b64(poly_b64))
+        row = FR.to_mont(jnp.asarray(enc.b64_to_limbs(poly_b64)))
         com = kzg.commit(self.srs.worker_bases[i], row, self.window_bits)
         return enc.g1_to_b64(cv.g1_decode(com[None])[0], self.compressed)
 
     def worker_open(self, i: int, poly_b64, x_b64: str) -> Tuple[str, str]:
         """b64 row + point → (b64 eval, b64 proof)."""
-        row = FR.encode_vec(enc.poly_from_b64(poly_b64))
+        row = FR.to_mont(jnp.asarray(enc.b64_to_limbs(poly_b64)))
         x = FR.encode([enc.fr_from_b64(x_b64)])[0]
         y, prf = kzg.open_(self.srs.worker_bases[i], row, x,
                            self.window_bits)
@@ -117,7 +117,7 @@ class Worker:
         """
         try:
             t0 = time.perf_counter()
-            row = FR.encode_vec(enc.poly_from_b64(synapse.poly))
+            row = FR.to_mont(jnp.asarray(enc.b64_to_limbs(synapse.poly)))
             commit_only = synapse.alpha is None
             x = (FR.zeros(()) if commit_only
                  else FR.encode([enc.fr_from_b64(synapse.alpha)])[0])
