@@ -359,7 +359,10 @@ static Fq12 miller_loop(const Fq &px, const Fq &py, const Fq2 &qx,
   return fq12_conj(f);  // x < 0
 }
 
-static Fq12 final_exp(const Fq12 &f) {
+static Fq12 final_exp_naive(const Fq12 &f) {
+  // Direct square-and-multiply by (q^12-1)/r — the reference
+  // implementation the fast path below is cross-checked against
+  // (and by tests/test_native.py vs the Python oracle).
   Fq12 out = fq12_one(), base = f;
   for (int i = 0; i < FINAL_EXP_LIMBS; i++)
     for (int b = 0; b < 64; b++) {
@@ -367,6 +370,83 @@ static Fq12 final_exp(const Fq12 &f) {
       base = fq12_sqr(base);
     }
   return out;
+}
+
+// ---------------------------------------------------------------------------
+// Cyclotomic final exponentiation (VERDICT r2 next-round #9)
+//
+// easy part f^((q^6-1)(q^2+1)) via conjugation + one Fq12 inversion + a
+// q^2-Frobenius; hard part via the Hayashida-Hayasaka-Teruya factorization
+//   3*(q^4-q^2+1)/r = (x-1)^2 (x+q)(x^2+q^2-1) + 3   (x = -BLS_X)
+// computed with three ~64-bit exponentiation chains. The result is the cube
+// of the classic final exp — an equivalent pairing check, since cubing is a
+// bijection on the order-r group GT (gcd(3, r) = 1). Chain validated
+// against the oracle by scratch/finalexp_derive.py.
+// ---------------------------------------------------------------------------
+
+#include "frobenius.h"
+
+static inline Fq2 fq2_conj(const Fq2 &x) { return {x.a, fq_neg(x.b)}; }
+
+static inline Fq2 frob_c(const u64 c[2][6]) {
+  Fq2 g;
+  std::memcpy(g.a.l, c[0], 48);
+  std::memcpy(g.b.l, c[1], 48);
+  return g;
+}
+
+static Fq12 fq12_frob1(const Fq12 &x) {
+  // basis coeffs: c0 = (w^0, w^2, w^4), c1 = (w^1, w^3, w^5)
+  Fq12 r;
+  r.c0.c0 = fq2_conj(x.c0.c0);
+  r.c0.c1 = fq2_mul(fq2_conj(x.c0.c1), frob_c(FROB1[1]));
+  r.c0.c2 = fq2_mul(fq2_conj(x.c0.c2), frob_c(FROB1[3]));
+  r.c1.c0 = fq2_mul(fq2_conj(x.c1.c0), frob_c(FROB1[0]));
+  r.c1.c1 = fq2_mul(fq2_conj(x.c1.c1), frob_c(FROB1[2]));
+  r.c1.c2 = fq2_mul(fq2_conj(x.c1.c2), frob_c(FROB1[4]));
+  return r;
+}
+
+static inline Fq2 fq2_scale(const Fq2 &x, const Fq &k) {
+  return {fq_mul(x.a, k), fq_mul(x.b, k)};
+}
+
+static Fq12 fq12_frob2(const Fq12 &x) {
+  // q^2-Frobenius fixes Fq2; coefficients are real
+  Fq12 r;
+  r.c0.c0 = x.c0.c0;
+  r.c0.c1 = fq2_scale(x.c0.c1, frob_c(FROB2[1]).a);
+  r.c0.c2 = fq2_scale(x.c0.c2, frob_c(FROB2[3]).a);
+  r.c1.c0 = fq2_scale(x.c1.c0, frob_c(FROB2[0]).a);
+  r.c1.c1 = fq2_scale(x.c1.c1, frob_c(FROB2[2]).a);
+  r.c1.c2 = fq2_scale(x.c1.c2, frob_c(FROB2[4]).a);
+  return r;
+}
+
+static Fq12 fq12_exp_u64(const Fq12 &a, u64 e) {
+  Fq12 out = fq12_one(), base = a;
+  while (e) {
+    if (e & 1) out = fq12_mul(out, base);
+    base = fq12_sqr(base);
+    e >>= 1;
+  }
+  return out;
+}
+
+static Fq12 final_exp(const Fq12 &f) {
+  // easy: m = f^((q^6-1)(q^2+1))
+  Fq12 m = fq12_mul(fq12_conj(f), fq12_inv(f));
+  m = fq12_mul(fq12_frob2(m), m);
+  // hard*3: (x-1)^2 = (BLS_X+1)^2 (sign squares away)
+  Fq12 a = fq12_exp_u64(fq12_exp_u64(m, BLS_X + 1), BLS_X + 1);
+  // a^(x+q) = frob1(a) * conj(a^BLS_X)
+  Fq12 b = fq12_mul(fq12_frob1(a), fq12_conj(fq12_exp_u64(a, BLS_X)));
+  // b^(x^2+q^2-1) = b^(BLS_X^2) * frob2(b) * conj(b)
+  Fq12 c = fq12_mul(
+      fq12_mul(fq12_exp_u64(fq12_exp_u64(b, BLS_X), BLS_X), fq12_frob2(b)),
+      fq12_conj(b));
+  Fq12 m3 = fq12_mul(fq12_sqr(m), m);
+  return fq12_mul(c, m3);
 }
 
 // ---------------------------------------------------------------------------
@@ -380,8 +460,31 @@ extern "C" {
 // filtered out by the caller. Returns 1 iff prod e(P_i, Q_i) == 1, 0 if not,
 // -1 on degenerate input (a Miller-loop line denominator hit zero — only
 // possible for non-r-torsion G2 points; callers must treat it as reject).
+// One-time cross-check of the cyclotomic chain against the naive
+// exponentiation: final_exp(f) must equal final_exp_naive(f)^3 for any
+// invertible f (cubing is bijective on GT). Runs on the first pairing call
+// (~40 ms); a mismatch poisons every subsequent check to reject.
+static int final_exp_selfcheck() {
+  Fq12 f = fq12_one();
+  // an arbitrary invertible, non-cyclotomic element
+  f.c0.c0.a = fq_add(fq_one(), fq_one());
+  f.c0.c1.b = fq_one();
+  f.c1.c2.a = fq_add(fq_one(), fq_add(fq_one(), fq_one()));
+  Fq12 naive = final_exp_naive(f);
+  Fq12 naive3 = fq12_mul(fq12_sqr(naive), naive);
+  Fq12 fast = final_exp(f);
+  return (fq2_eq(fast.c0.c0, naive3.c0.c0) &&
+          fq2_eq(fast.c0.c1, naive3.c0.c1) &&
+          fq2_eq(fast.c0.c2, naive3.c0.c2) &&
+          fq2_eq(fast.c1.c0, naive3.c1.c0) &&
+          fq2_eq(fast.c1.c1, naive3.c1.c1) &&
+          fq2_eq(fast.c1.c2, naive3.c1.c2)) ? 1 : 0;
+}
+
 int zkp_pairing_product_is_one(const uint8_t *g1s, const uint8_t *g2s,
                                int n) {
+  static const int selfcheck_ok = final_exp_selfcheck();
+  if (!selfcheck_ok) return -1;
   Fq12 f = fq12_one();
   bool degenerate = false;
   for (int i = 0; i < n; i++) {
