@@ -131,6 +131,25 @@ def _run(args) -> int:
     return 0 if ok > 0 else 1
 
 
+def _serve(args) -> int:
+    """Standalone worker process: the reference's miner surface (axon +
+    localhost prover RPC, base/miner.py:62-84) as one HTTP server."""
+    from .runtime import ProverConfig, Worker, WorkerConfig
+    from .runtime.server import WorkerServer
+
+    srs = _load_srs(args)
+    prover = ProverConfig(scale=srs.scale, machines_scale=srs.machines_scale,
+                          setup_path=args.setup_path,
+                          precompute_path=args.precompute_path)
+    worker = Worker(srs, WorkerConfig(prover=prover,
+                                      allow_non_registered=True))
+    print(f"warmup: {worker.warmup():.1f}s", file=sys.stderr)
+    server = WorkerServer(worker, host=args.host, port=args.port,
+                          seed=args.seed)
+    server.serve_forever()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="zkp_subnet_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -184,6 +203,19 @@ def main(argv=None) -> int:
     lp.add_argument("--neuron.state_dir", dest="state_dir",
                     default="./state")
     lp.set_defaults(fn=_run)
+
+    vp = sub.add_parser("serve", help="standalone worker HTTP server "
+                        "(prover RPC + Prove synapse surface)")
+    vp.add_argument("--setup-path", dest="setup_path", default="./setup.npz")
+    vp.add_argument("--precompute-path", dest="precompute_path",
+                    default="./precompute.npz")
+    vp.add_argument("--scale", type=int, default=6)
+    vp.add_argument("--machines-scale", dest="machines_scale",
+                    type=int, default=2)
+    vp.add_argument("--host", default="127.0.0.1")
+    vp.add_argument("--port", type=int, default=1337)
+    vp.add_argument("--seed", type=int, default=0)
+    vp.set_defaults(fn=_serve)
 
     p.add_argument("-v", "--verbose", action="store_true",
                    help="INFO-level logs from coordinator/worker/transport")

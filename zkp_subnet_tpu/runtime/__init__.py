@@ -10,10 +10,11 @@ from .config import (CoordinatorConfig, ProverConfig, WorkerConfig,
                      coordinator_config, worker_config)
 from .coordinator import Challenge, Coordinator
 from .protocol import Prove
+from .server import HttpTransport, WorkerServer
 from .transport import LocalTransport, MeshTransport, MockTransport
 from .worker import Worker
 
-__all__ = ["Challenge", "Coordinator", "CoordinatorConfig", "LocalTransport",
+__all__ = ["Challenge", "Coordinator", "CoordinatorConfig", "HttpTransport", "LocalTransport",
            "MeshTransport", "MockTransport", "Prove", "ProverConfig", "Worker", "WorkerConfig",
            "add_coordinator_args", "add_worker_args", "coordinator_config",
-           "worker_config"]
+           "worker_config", "WorkerServer"]
