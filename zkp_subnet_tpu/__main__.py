@@ -43,6 +43,13 @@ def _setup(args) -> int:
     srs = Srs.generate(scale=args.scale, machines_scale=args.machines_scale,
                        seed=args.seed)
     srs.save(args.setup_path, args.precompute_path)
+    # integrity manifest for `check` (the reference trusts its S3 download;
+    # here artifact integrity is verifiable offline)
+    import hashlib
+    with open(args.setup_path + ".sha256", "w") as f:
+        for path in (args.setup_path, args.precompute_path):
+            digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+            f.write(f"{digest}  {os.path.basename(path)}\n")
     print(f"wrote {args.setup_path} and {args.precompute_path} "
           f"(scale={args.scale}, machines_scale={args.machines_scale})")
     return 0
@@ -131,6 +138,76 @@ def _run(args) -> int:
     return 0 if ok > 0 else 1
 
 
+def _check(args) -> int:
+    """Validate SRS artifacts cryptographically + by checksum manifest.
+
+    The reference distributes production SRS files and trusts the transport
+    (S3 download, Makefile:30-48); here integrity is checked in-process:
+    pairing consistency of the powers, the Lagrange partition of unity, and
+    a sha256 manifest written at setup time (the fetch/verify story of
+    SURVEY.md §2.12 without a network)."""
+    import hashlib
+    from .models.srs import Srs
+    from .ops import curve as cv
+    from .utils import native, oracle as o
+
+    failures = []
+
+    def report(name: str, ok: bool):
+        print(f"  {'PASS' if ok else 'FAIL'}  {name}")
+        if not ok:
+            failures.append(name)
+
+    # 1. checksum manifest (written by `setup`, optional for older artifacts)
+    manifest = args.setup_path + ".sha256"
+    if os.path.exists(manifest):
+        want = dict(line.split()[::-1] for line in
+                    open(manifest).read().splitlines() if line.strip())
+        for path in (args.setup_path, args.precompute_path):
+            base = os.path.basename(path)
+            if base in want:
+                got = hashlib.sha256(open(path, "rb").read()).hexdigest()
+                report(f"sha256 {base}", got == want[base])
+    else:
+        print(f"  note: no manifest at {manifest}")
+
+    srs = Srs.load(args.setup_path, args.precompute_path)
+    g = o.G1.from_affine(o.G1_GEN)
+    g2 = srs.g2_gen
+    g1x = cv.g1_decode(srs.g1_x[:min(4, srs.row_size)])
+    report("g1_x[0] == G1 generator",
+           o.G1.to_affine(g1x[0]) == o.G1_GEN)
+    # e(g1_x[j+1], G2) == e(g1_x[j], [tau]G2): consecutive powers consistent
+    for j in range(len(g1x) - 1):
+        ok = native.pairing_check([
+            (g1x[j + 1], o.G2.neg(g2)), (g1x[j], srs.g2_tau_x)])
+        report(f"e(g1_x[{j + 1}], G2) == e(g1_x[{j}], [tau_x]G2)", ok)
+    # Lagrange partition of unity: sum_i [R_i(tau_y)]G1 == G1
+    lag = cv.g1_decode(srs.lagrange_y)
+    acc = o.G1.infinity()
+    for p in lag:
+        acc = o.G1.add(acc, p)
+    report("sum_i lagrange_y[i] == G1 (partition of unity)",
+           o.G1.to_affine(acc) == o.G1_GEN)
+    # worker bases anchor: U_i[0] == V_i for each worker
+    u0 = cv.g1_decode(srs.worker_bases[:, 0])
+    ok = all(o.G1.to_affine(a) == o.G1.to_affine(b)
+             for a, b in zip(u0, lag))
+    report("worker_bases[i][0] == lagrange_y[i]", ok)
+    # worker bases power step: e(U_i[1], G2) == e(U_i[0], [tau_x]G2)
+    u1 = cv.g1_decode(srs.worker_bases[:, 1])
+    ok = all(native.pairing_check([(b, o.G2.neg(g2)), (a, srs.g2_tau_x)])
+             for a, b in zip(u0, u1))
+    report("e(worker_bases[i][1], G2) == e(worker_bases[i][0], [tau_x]G2)",
+           ok)
+
+    if failures:
+        print(f"{len(failures)} check(s) FAILED")
+        return 1
+    print("all checks passed")
+    return 0
+
+
 def _serve(args) -> int:
     """Standalone worker process: the reference's miner surface (axon +
     localhost prover RPC, base/miner.py:62-84) as one HTTP server."""
@@ -203,6 +280,13 @@ def main(argv=None) -> int:
     lp.add_argument("--neuron.state_dir", dest="state_dir",
                     default="./state")
     lp.set_defaults(fn=_run)
+
+    cp = sub.add_parser("check", help="validate SRS artifacts (pairing "
+                        "consistency + sha256 manifest)")
+    cp.add_argument("--setup-path", dest="setup_path", default="./setup.npz")
+    cp.add_argument("--precompute-path", dest="precompute_path",
+                    default="./precompute.npz")
+    cp.set_defaults(fn=_check)
 
     vp = sub.add_parser("serve", help="standalone worker HTTP server "
                         "(prover RPC + Prove synapse surface)")
