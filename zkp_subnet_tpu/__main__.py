@@ -227,6 +227,72 @@ def _serve(args) -> int:
     return 0
 
 
+def _localnet(args) -> int:
+    """Local multi-process network: N worker server processes + a scoring
+    coordinator over HTTP — the reference's docker localnet
+    (docker-compose.yml:3-50, scripts/localnet.sh) without containers."""
+    import socket
+    import subprocess
+    import time as _time
+
+    from .runtime import Coordinator, CoordinatorConfig
+    from .runtime.server import HttpTransport
+
+    srs = _load_srs(args)
+    n = args.workers
+    ports = []
+    for _ in range(n):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            ports.append(s.getsockname()[1])
+    procs = []
+    try:
+        for i, port in enumerate(ports):
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "zkp_subnet_tpu", "serve",
+                 "--setup-path", args.setup_path,
+                 "--precompute-path", args.precompute_path,
+                 "--scale", str(args.scale),
+                 "--machines-scale", str(args.machines_scale),
+                 "--port", str(port), "--seed", str(100 + i)]))
+        # wait for every server to accept (includes worker warmup)
+        deadline = _time.time() + args.spawn_timeout
+        for port in ports:
+            while True:
+                try:
+                    socket.create_connection(("127.0.0.1", port),
+                                             timeout=2).close()
+                    break
+                except OSError:
+                    if _time.time() > deadline:
+                        print(f"worker on :{port} never came up",
+                              file=sys.stderr)
+                        return 1
+                    _time.sleep(1)
+        print(f"{n} worker processes serving on {ports}", file=sys.stderr)
+
+        m = srs.machines
+        hotkeys = [f"local-{i}" for i in range(m)]
+        urls = {u: f"http://127.0.0.1:{ports[u % n]}" for u in range(m)}
+        coord = Coordinator(
+            srs, CoordinatorConfig(sample_size=m, timeout=args.timeout),
+            hotkeys=hotkeys, seed=args.seed)
+        import asyncio
+        ok = asyncio.run(coord.run(HttpTransport(urls), rounds=args.rounds))
+        uids, weights = coord.set_weights()
+        print(f"{ok}/{args.rounds} rounds ok over {n} worker processes; "
+              f"weights: {dict(zip(uids.tolist(), weights.tolist()))}")
+        return 0 if ok == args.rounds else 1
+    finally:
+        for p in procs:                     # exact child PIDs only
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="zkp_subnet_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -300,6 +366,23 @@ def main(argv=None) -> int:
     vp.add_argument("--port", type=int, default=1337)
     vp.add_argument("--seed", type=int, default=0)
     vp.set_defaults(fn=_serve)
+
+    np_ = sub.add_parser("localnet", help="spawn N worker server processes "
+                         "and score them over HTTP (docker-localnet analog)")
+    np_.add_argument("--setup-path", dest="setup_path",
+                     default="./setup.npz")
+    np_.add_argument("--precompute-path", dest="precompute_path",
+                     default="./precompute.npz")
+    np_.add_argument("--scale", type=int, default=6)
+    np_.add_argument("--machines-scale", dest="machines_scale",
+                     type=int, default=2)
+    np_.add_argument("--workers", type=int, default=2)
+    np_.add_argument("--rounds", type=int, default=1)
+    np_.add_argument("--timeout", type=float, default=600.0)
+    np_.add_argument("--spawn-timeout", dest="spawn_timeout", type=float,
+                     default=600.0)
+    np_.add_argument("--seed", type=int, default=0)
+    np_.set_defaults(fn=_localnet)
 
     p.add_argument("-v", "--verbose", action="store_true",
                    help="INFO-level logs from coordinator/worker/transport")
