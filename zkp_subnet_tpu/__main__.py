@@ -390,6 +390,8 @@ def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    from . import ensure_backend
+    ensure_backend()   # fall back to CPU if the TPU plugin is broken
     return args.fn(args)
 
 

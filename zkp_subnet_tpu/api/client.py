@@ -57,4 +57,4 @@ class SubnetClient:
                index: int = 0) -> bool:
         """Local pairing check (the one reference API that needs no miner).
         Reference intent: api/verify.py:33-115."""
-        return self.coordinator._verify_worker(index, proof, x, y, commitment)
+        return self.coordinator.verify_worker(index, proof, x, y, commitment)

@@ -164,14 +164,18 @@ class Coordinator:
         if response.process_time is None or response.process_time > timeout:
             return 0.0
         expected_eval = challenge.evals[response.index]
-        if not self._verify_worker(response.index, response.proof,
-                                   challenge.alpha, expected_eval,
-                                   response.commitment):
+        if not self.verify_worker(response.index, response.proof,
+                                  challenge.alpha, expected_eval,
+                                  response.commitment):
             return 0.0
         return 1.0 - response.process_time / timeout
 
-    def _verify_worker(self, i: int, proof_b64: str, alpha_b64: str,
-                       eval_b64: str, commitment_b64: str) -> bool:
+    def verify_worker(self, i: int, proof_b64: str, alpha_b64: str,
+                      eval_b64: str, commitment_b64: str) -> bool:
+        """Pairing-check one worker's (commitment, eval, proof) triple for
+        row i at the challenge point — the public verify seam used both by
+        ``reward`` and by the client API (reference: api/verify.py:33-115,
+        neurons/validator.py:148-158)."""
         try:
             proof = enc.g1_from_b64(proof_b64)
             commitment = enc.g1_from_b64(commitment_b64)

@@ -74,6 +74,19 @@ class MeshTransport:
     ``corrupt_uids`` injects the reference's +1 proof corruption
     (reference: tests/test_validator.py:79-86) after proving, for reward-
     matrix tests against the mesh path.
+
+    **Timing semantics — a documented deviation from the reference.** The
+    reference stamps a per-miner ``process_time`` (each miner is its own
+    HTTP round trip, reference: neurons/validator.py:176) and scores
+    1 − t/timeout per miner. Under SPMD there is exactly ONE program: every
+    shard starts and finishes together, so per-shard wall times do not
+    exist — all responses carry the same ``process_time`` (the SPMD
+    program's wall clock) and latency-proportional scoring degenerates to
+    uniform-across-the-mesh (or uniformly 408 when the program misses the
+    deadline). That is the correct semantics for mesh-resident workers:
+    validity gates (pairing check, replay/bounds rejection) still
+    differentiate shards; latency cannot. Asserted by
+    tests/test_parallel.py::test_mesh_transport_uniform_process_time.
     """
 
     def __init__(self, srs_sharded, mesh, window_bits=None,
