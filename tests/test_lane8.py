@@ -148,3 +148,19 @@ def test_sum_and_select(rng):
     assert np.array_equal(np.asarray(sel[0]), np.asarray(pts[0]))
     assert np.array_equal(np.asarray(sel[1]),
                           np.asarray(cv.g1_infinity((1,))[0]))
+
+
+def test_sequential_formulas_match_stacked(rng):
+    """The Pallas kernels run the sequential RCB15 transcriptions; they must
+    be bit-identical to the layer-stacked XLA-graph versions (mont ops are
+    deterministic and canonical, so op-order unstacking changes nothing)."""
+    pts = _rand_pts(rng, 8)
+    q = jnp.roll(pts, 3, axis=0)
+    p8, q8 = l8.pts_to_lane8(pts), l8.pts_to_lane8(q)
+    assert np.array_equal(np.asarray(l8.g18_add_seq(p8, q8)),
+                          np.asarray(l8.g18_add(p8, q8)))
+    assert np.array_equal(np.asarray(l8.g18_double_seq(p8)),
+                          np.asarray(l8.g18_double(p8)))
+    inf8 = jnp.broadcast_to(l8.g18_infinity(), p8.shape)
+    assert np.array_equal(np.asarray(l8.g18_add_seq(p8, inf8)),
+                          np.asarray(l8.g18_add(p8, inf8)))

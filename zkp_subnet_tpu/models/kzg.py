@@ -27,18 +27,19 @@ from ..utils import native
 def commit(bases: jnp.ndarray, coeffs: jnp.ndarray,
            window_bits=None) -> jnp.ndarray:
     """[f(τ)]G1 from Montgomery-form coefficients. bases: (N, 3, L)."""
-    scalars = FR.from_mont(coeffs)       # canonical limbs for digit windows
+    scalars = jpoly.from_mont_wide(coeffs)   # canonical limbs, byte engine
     return jmsm.msm_auto(bases, scalars, window_bits=window_bits)
 
 
 def open_(bases: jnp.ndarray, coeffs: jnp.ndarray, x: jnp.ndarray,
           window_bits=None
           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (eval f(x), proof [q(τ)]G1); x is (L,) Montgomery."""
-    y, q = jpoly.poly_eval_and_quotient(coeffs, x)
-    scalars = FR.from_mont(q)
-    return y, jmsm.msm_auto(bases[:q.shape[0]], scalars,
-                            window_bits=window_bits)
+    """Returns (eval f(x), proof [q(τ)]G1); x is (L,) Montgomery.
+
+    The quotient arrives zero-padded to full width (q[N-1] = 0) so the MSM
+    runs over all N bases lane-aligned — the extra term is 0·base."""
+    y, scalars = jpoly.poly_open_scalars(coeffs, x)
+    return y, jmsm.msm_auto(bases, scalars, window_bits=window_bits)
 
 
 def verify(commitment, x: int, y: int, proof,

@@ -15,8 +15,10 @@ motivated by how a TPU v5e actually multiplies:
   batch axis against a SHARED Toeplitz matrix — a real MXU matmul. Limbs
   ≤ 256 are exact in bfloat16 and the MXU accumulates in f32, so the
   matmuls are bit-exact too (column sums ≤ 48·256·255 < 2^24);
-- carries/borrows become boolean Kogge-Stone scans on the sublane axis —
-  vmask ops, no integer multiply anywhere.
+- carries/borrows are Kogge-Stone scans on the sublane axis kept entirely
+  in f32 arithmetic (OR = max, AND = product, comparisons as exact floor
+  tricks) — no integer multiply anywhere, and no i1 vectors either, which
+  Mosaic (Pallas TPU) refuses to pad/cast.
 
 Bit-exactness against ``ops.field``/``ops.lane`` (and transitively the
 bigint oracle) is pinned by tests/test_lane8.py.
@@ -92,6 +94,15 @@ def pts_from_lane8(p: jnp.ndarray) -> jnp.ndarray:
     """(3, 2L, N) f32 byte-lane points → (N, 3, L) uint32."""
     return u8_to_u16_limbs(
         jnp.transpose(p, (2, 0, 1)).astype(jnp.uint32), axis=-1)
+
+
+def mm_dtype():
+    """Input dtype for the exact small-integer matmuls: bf16 on TPU (native
+    MXU mode, exact for integers ≤ 256 with f32 accumulation), f32 on CPU
+    (XLA:CPU's DotThunk has no bf16×bf16→f32 kernel; f32 is equally exact
+    at these magnitudes)."""
+    return (jnp.bfloat16 if jax.default_backend() not in ("cpu",)
+            else jnp.float32)
 
 
 def _int_to_bytes(v: int, n: int) -> np.ndarray:
@@ -184,6 +195,15 @@ class ByteLaneField:
     # -- carry machinery (limb axis = -2, f32 digits) ------------------------
 
     @staticmethod
+    def _row(x, i: int):
+        """x[..., i, :] via a static lax slice — jnp's integer indexing
+        lowers to dynamic_slice, which Mosaic (Pallas TPU) cannot lower;
+        this form works both in XLA graphs and inside kernels."""
+        n = x.shape[-2]
+        i = i % n
+        return jax.lax.slice_in_dim(x, i, i + 1, axis=-2).squeeze(-2)
+
+    @staticmethod
     def _shift_up(x, d: int):
         """Shift limbs (axis -2) toward higher significance by d."""
         pad = [(0, 0)] * (x.ndim - 2) + [(d, 0), (0, 0)]
@@ -204,68 +224,72 @@ class ByteLaneField:
         return t
 
     def _ks_carry(self, digits):
-        """Exact carry propagation for digits ≤ 511 → (limbs, carry_out).
+        """Exact carry propagation for integer digits ≤ 256 →
+        (limbs ≤ 255, carry_out ∈ {0,1}).
 
-        Kogge-Stone generate/propagate over the sublane axis in bool."""
+        Kogge-Stone generate/propagate kept entirely in f32 arithmetic
+        (OR = max, AND = product, comparisons as exact floor tricks) —
+        Mosaic rejects i1 vector pads/casts ("invalid vector register
+        cast"), and these digits are exact small integers anyway."""
+        g = jnp.floor(digits * (1.0 / 256.0))              # digit ≥ 256
+        p = jnp.floor((digits + 1.0) * (1.0 / 256.0)) - g  # digit == 255
         n = digits.shape[-2]
-        g = digits >= 256.0
-        p = digits == 255.0
         d = 1
         while d < n:
-            g = g | (p & self._shift_up_bool(g, d))
-            p = p & self._shift_up_bool(p, d)
+            g = jnp.maximum(g, p * self._shift_up(g, d))
+            p = p * self._shift_up(p, d)
             d <<= 1
-        carry_in = self._shift_up_bool(g, 1).astype(jnp.float32)
+        carry_in = self._shift_up(g, 1)
         res = digits + carry_in
-        res -= 256.0 * jnp.floor(res * (1.0 / 256.0)).clip(0.0)
-        return res, g[..., -1, :]
-
-    @staticmethod
-    def _shift_up_bool(x, d: int):
-        pad = [(0, 0)] * (x.ndim - 2) + [(d, 0), (0, 0)]
-        return jnp.pad(x, pad)[..., : x.shape[-2], :]
+        res = res - 256.0 * jnp.floor(res * (1.0 / 256.0))
+        return res, self._row(g, -1)
 
     def _ks_borrow(self, a, b):
-        """(a - b) mod 2^(8·L8) limbwise + borrow-out flag."""
-        g = a < b
-        p = a == b
+        """(a - b) mod 2^(8·L8) limbwise + borrow-out ∈ {0,1} — canonical
+        digit inputs (≤ 255), all-f32 (see _ks_carry)."""
+        g = jnp.floor((b - a + 255.0) * (1.0 / 256.0))     # a < b
+        gt = jnp.floor((a - b + 255.0) * (1.0 / 256.0))    # a > b
+        p = 1.0 - g - gt                                   # a == b
         n = a.shape[-2]
         d = 1
         while d < n:
-            g = g | (p & self._shift_up_bool(g, d))
-            p = p & self._shift_up_bool(p, d)
+            g = jnp.maximum(g, p * self._shift_up(g, d))
+            p = p * self._shift_up(p, d)
             d <<= 1
-        borrow_in = self._shift_up_bool(g, 1).astype(jnp.float32)
-        raw = a - b - borrow_in
-        diff = jnp.where(raw < 0.0, raw + 256.0, raw)
-        return diff, g[..., -1, :]
+        borrow_in = self._shift_up(g, 1)
+        raw = a - b - borrow_in                            # ∈ [-256, 255]
+        neg = jnp.floor((255.0 - raw) * (1.0 / 256.0))     # raw < 0
+        diff = raw + 256.0 * neg
+        return diff, self._row(g, -1)
 
     def _sub_p_if_ge(self, v, extra=None):
-        """v (canonical digits) minus p when v ≥ p (or when ``extra``,
-        the dropped 2^(8·L8) carry bit, says v overflowed the limb span)."""
+        """v (canonical digits) minus p when v ≥ p (or when ``extra`` ∈
+        {0,1} f32, the dropped 2^(8·L8) carry, says v overflowed)."""
         p_vec = self.p_col
         diff, borrow = self._ks_borrow(v, jnp.broadcast_to(p_vec, v.shape))
-        use_diff = ~borrow if extra is None else (extra | ~borrow)
-        return jnp.where(use_diff[..., None, :], diff, v)
+        use = 1.0 - borrow if extra is None else jnp.maximum(
+            extra, 1.0 - borrow)
+        u = use[..., None, :]
+        return diff * u + v * (1.0 - u)
 
     # -- add/sub -------------------------------------------------------------
 
     def add(self, a, b):
         s = a + b                              # digits ≤ 510
         lo, hi = self._split256(s)
-        extra0 = hi[..., -1, :] > 0.0          # carry out of the top limb
+        extra0 = self._row(hi, -1)             # carry out of the top limb
         s = lo + self._shift_up(hi, 1)         # digits ≤ 256
         res, cout = self._ks_carry(s)
-        return self._sub_p_if_ge(res, extra=extra0 | cout)
+        return self._sub_p_if_ge(res, extra=jnp.maximum(extra0, cout))
 
     def sub(self, a, b):
         d, borrow = self._ks_borrow(a, b)
-        p_vec = self.p_col
-        s = d + p_vec
+        s = d + self.p_col
         lo, hi = self._split256(s)
         s = lo + self._shift_up(hi, 1)
         dp, _ = self._ks_carry(s)
-        return jnp.where(borrow[..., None, :], dp, d)
+        bb = borrow[..., None, :]
+        return dp * bb + d * (1.0 - bb)
 
     def neg(self, a):
         return self.sub(jnp.zeros_like(a), a)
@@ -300,7 +324,8 @@ class ByteLaneField:
         """MXU contraction Σ_j mat[k, j]·x[..., j, :] with bf16-exact
         inputs (digits ≤ 256 = 2^8 exact in bf16) and f32 accumulation
         (sums ≤ L8·256·255 < 2^24): bit-exact by construction."""
-        return jnp.einsum("kj,...jn->...kn", mat, x.astype(jnp.bfloat16),
+        d = mm_dtype()
+        return jnp.einsum("kj,...jn->...kn", mat.astype(d), x.astype(d),
                           preferred_element_type=jnp.float32)
 
     def mont_mul(self, a, b):
@@ -326,8 +351,9 @@ class ByteLaneField:
         S = jnp.pad(S, pad)
         S = self._norm(S, 3)
         S, _ = self._ks_carry(S)
-        return self._sub_p_if_ge(S[..., L8:2 * L8, :],
-                                 extra=S[..., 2 * L8, :] > 0.0)
+        return self._sub_p_if_ge(
+            jax.lax.slice_in_dim(S, L8, 2 * L8, axis=-2),
+            extra=self._row(S, 2 * L8))
 
     def sqr(self, a):
         return self.mont_mul(a, a)
@@ -449,3 +475,68 @@ def g18_sum(points):
         points = g18_add(points[..., :half], points[..., half:])
         n = half
     return points
+
+
+# -- sequential (unstacked) point formulas for Pallas kernels ----------------
+#
+# The layer-batched versions above stack operands into (6, L8, N) so XLA
+# compiles 3 mont_mul instances instead of 14 — right for XLA graphs, wrong
+# inside a Pallas kernel: the stacked schoolbook product materializes a
+# (6, L8, L8, TILE) f32 intermediate (~28 MB at TILE=512) that blows VMEM
+# and the Mosaic compile with it (r4: remote compile helper SIGKILL). These
+# run the SAME formulas one (L8, N) mul at a time — each intermediate is the
+# proven-compilable 2D shape. Bit-exact vs the stacked versions by
+# construction (identical ops in identical order, just unstacked); pinned in
+# tests/test_lane8.py.
+
+
+def g18_add_seq(p, q, F=None):
+    """Complete RCB15 add (Algorithm 7, a=0, b3=12), sequential muls."""
+    F = BFQ if F is None else F
+    X1, Y1, Z1 = g18_unpack(p)
+    X2, Y2, Z2 = g18_unpack(q)
+    mul, add, sub = F.mont_mul, F.add, F.sub
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    p1 = mul(add(X1, Y1), add(X2, Y2))
+    p2 = mul(add(Y1, Z1), add(Y2, Z2))
+    p3 = mul(add(X1, Z1), add(X2, Z2))
+    t3 = sub(p1, add(t0, t1))
+    t4 = sub(p2, add(t1, t2))
+    ty = sub(p3, add(t0, t2))
+    b3 = jnp.broadcast_to(F.b3_col, t2.shape)
+    t2b = mul(t2, b3)
+    y3b = mul(ty, b3)
+    z3t = add(t1, t2b)
+    t0t = add(add(t0, t0), t0)
+    t1t = sub(t1, t2b)
+    X3 = sub(mul(t3, t1t), mul(t4, y3b))
+    Y3 = add(mul(y3b, t0t), mul(t1t, z3t))
+    Z3 = add(mul(z3t, t4), mul(t0t, t3))
+    return g18_pack(X3, Y3, Z3)
+
+
+def g18_double_seq(p, F=None):
+    """Complete RCB15 doubling (Algorithm 9, a=0), sequential muls."""
+    F = BFQ if F is None else F
+    X, Y, Z = g18_unpack(p)
+    mul, add, sub = F.mont_mul, F.add, F.sub
+
+    t0 = mul(Y, Y)
+    tyz = mul(Y, Z)
+    tzz = mul(Z, Z)
+    txy = mul(X, Y)
+    z8 = add(add(t0, t0), add(t0, t0))
+    z8 = add(z8, z8)
+    b3 = jnp.broadcast_to(F.b3_col, tzz.shape)
+    t2b = mul(tzz, b3)
+    y3a = add(t0, t2b)
+    t2c = add(add(t2b, t2b), t2b)
+    t0b = sub(t0, t2c)
+    Y3 = add(mul(t2b, z8), mul(t0b, y3a))
+    x3o = mul(t0b, txy)
+    X3 = add(x3o, x3o)
+    Z3 = mul(tyz, z8)
+    return g18_pack(X3, Y3, Z3)

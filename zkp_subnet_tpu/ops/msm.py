@@ -5,22 +5,28 @@ This is the hot kernel behind KZG ``worker_commit``/``worker_open``
 (reference: neurons/miner.py:38-54 delegates it to the Rust prover).
 
 TPU-first formulation — no scatter-accumulate in the hot loop, no
-data-dependent branches, and all point math in the lane-major engine
-(ops/lane.py: batch on TPU lanes, limbs on sublanes — the layout that makes
-the field ops ~100x faster than the naive (N, L) layout on real TPU):
+data-dependent branches, bounded working set, and all point math in the
+byte-limb f32 engine (ops/lane8.py) through the Pallas-fused kernels
+(ops/pallas_g1.py) when the backend supports them:
 
-- Window size = 8 or 16 bits (divisors of the 16-bit scalar limbs).
-- Per window: sort points by digit (dense sort + gather, both regular),
-  take an inclusive prefix scan of the sorted points (tiled: a lax.scan over
-  tile columns + Hillis-Steele across tile totals), and scatter only the
-  *run-end* prefix values into a bucket-indexed table (unique indices).
-- Bucket weighted sum via the telescoping identity: with E_d = "prefix of all
-  points with digit ≤ d" (forward-filled over absent digits) and D = 2^wb−1,
-      Σ_d d·B_d  =  D·E_D − Σ_{d=0}^{D-1} E_d,
-  where E_D is the plain sum of all points. This removes the classic
-  suffix-scan over buckets entirely: one halving-tree sum over the bucket
-  axis (2·2^wb point-add work) and a constant-scalar multiply.
-- Window recombination is a Horner scan: wb doublings + one add per window.
+- Points stream through fixed-size CHUNKS (lax.scan), so device memory is
+  set by the chunk size, not N — the r3 design materialized sorted+scanned
+  copies of all N points per window and took the chip down at 2^20
+  (VERDICT r3 missing #1a).
+- ALL windows of a chunk ride the lane axis together (width = W·tiles), so
+  every point-add the scan issues is tens-of-thousands of lanes wide — the
+  regime where the fused kernels run at VPU speed.
+- Per window: sort chunk digits (one batched sort), prefix-scan the sorted
+  points (K-column lax.scan + Hillis-Steele over tile totals), then pick
+  each digit run's closing prefix with ONE-HOT bf16 MATMULS (exact: every
+  output selects exactly one value ≤ 255, accumulated in f32) — selection
+  rides the MXU in lane layout instead of scatter/gather relayouts.
+- Forward-fill over the bucket axis is pure selects (no point math);
+  per-chunk bucket sums B_d = F_d ⊖ F_{d-1} accumulate across chunks in a
+  (3, L8, W·B) carry.
+- Final: Σ_d d·B_d per window via the telescoping identity
+  Σ d·B_d = D·S_D − Σ_{d<D} S_d (S = bucket prefix sums), then a Horner
+  sweep over windows (wb doublings + 1 add each).
 
 All point operations are the complete RCB15 formulas, so the whole thing is
 one branch-free jitted program.
@@ -35,23 +41,273 @@ import jax.numpy as jnp
 
 from .field import FQ, FR
 from .curve import g1_infinity
-from .lane import (LFQ, g1l_add, g1l_double, g1l_infinity, g1l_neg,
+from .lane import (g1l_add, g1l_double, g1l_infinity, g1l_neg,
                    g1l_select, g1l_sum, pts_to_lane, pts_from_lane)
+from . import lane8 as l8
+from . import pallas_g1 as pg
 
-#: default window size. Cost model per window: ~2N point-adds for the
-#: prefix scan + ~4·2^wb for the bucket fill/tree, times 256/wb windows.
-#: 8-bit windows win up to N≈2^20; 16-bit windows only pay off once the 2N
-#: term dominates the bucket machinery.
-DEFAULT_WINDOW_BITS = 16
+#: default window size. 8-bit windows won every measured configuration on
+#: the v5e: the dense bucket machinery is O(W·2^wb) per chunk, which at
+#: wb=16 dwarfs the 2N-adds-per-window saving (see BENCH extras
+#: msm_2^20_wb8/wb16 for the measured pair).
+DEFAULT_WINDOW_BITS = 8
 
-#: N at which 16-bit windows overtake 8-bit ones (cost-model crossover,
-#: ~2^20; bench extras on real hardware can refine this)
-WIDE_WINDOW_THRESHOLD = 1 << 20
+#: lanes per streamed chunk (points per window per scan step = CHUNK).
+#: Working set per chunk ≈ W·CHUNK lanes × 48 limbs × 3 coords × 4 B
+#: ≈ 150 MB at 4096 — independent of N.
+CHUNK = 4096
+
+#: columns per tile in the within-chunk prefix scan (sequential scan
+#: steps per chunk); tiles T = CHUNK // K ride the lane axis.
+SCAN_COLS = 8
 
 
 def pick_window_bits(n: int) -> int:
-    """Size-aware window choice for the telescoping-bucket Pippenger."""
-    return 16 if n >= WIDE_WINDOW_THRESHOLD else 8
+    """Size-aware window choice — 8 everywhere (measured: the wb=16 dense
+    bucket tables cost more than the halved window count saves; numbers in
+    BENCH_r04 extras)."""
+    return 8
+
+
+def _use_pallas(width: int) -> bool:
+    return (width % pg.CANON == 0 and
+            jax.default_backend() not in ("cpu",))
+
+
+def _padd(p, q):
+    """Dispatch: Pallas fused kernel on TPU at aligned widths, XLA-graph
+    byte engine otherwise (CPU tests, narrow tails)."""
+    if _use_pallas(p.shape[-1]) and p.shape == q.shape and p.ndim == 3:
+        return pg.padd(p, q)
+    return l8.g18_add(p, q)
+
+
+def _pdouble(p):
+    if _use_pallas(p.shape[-1]) and p.ndim == 3:
+        return pg.pdouble(p)
+    return l8.g18_double(p)
+
+
+def _digits_of(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
+    """(N, 16) canonical 16-bit limbs → (W, N) uint32 digits, LSB window
+    first (window w holds bits [w·wb, (w+1)·wb))."""
+    assert 16 % window_bits == 0
+    per_limb = 16 // window_bits
+    mask = jnp.uint32((1 << window_bits) - 1)
+    parts = [(scalars >> (window_bits * j)) & mask for j in range(per_limb)]
+    digits = jnp.stack(parts, axis=-1).reshape(scalars.shape[0], -1)
+    return jnp.swapaxes(digits, 0, 1)      # (W, N)
+
+
+def _inf4(W: int, d: int):
+    """(3, L8, W, d) block of points at infinity (the (..., 3, L8, N)
+    helper puts batch dims leading; these arrays keep W inside)."""
+    return jnp.broadcast_to(l8.g18_infinity(())[..., None],
+                            (3, l8.BFQ.L8, W, d))
+
+
+def _hs_prefix_masked(pts4):
+    """Inclusive Hillis-Steele prefix over the LAST axis of (3, L8, W, T)
+    points — one fori_loop whose body holds the ONLY point-add instance
+    (traced-shift jnp.roll + mask instead of log2(T) unrolled concats:
+    unrolling made XLA compiles explode, VERDICT r3 weak #6).
+
+    T must be a power of two. The summed total over the axis is
+    ``_hs_prefix_masked(x)[..., -1:]``.
+    """
+    _, L8, W, T = pts4.shape
+    if T == 1:
+        return pts4
+    steps = T.bit_length() - 1
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3)
+    inf = _inf4(W, T)
+
+    def body(i, pts):
+        d = jnp.int32(1) << i
+        rolled = jnp.roll(pts, d, axis=-1)
+        shifted = jnp.where(lane_idx >= d, rolled, inf)
+        flat = _padd(pts.reshape(3, L8, W * T),
+                     shifted.reshape(3, L8, W * T))
+        return flat.reshape(3, L8, W, T)
+
+    return jax.lax.fori_loop(0, steps, body, pts4)
+
+
+def _bf16(x):
+    """Matmul-input cast: bf16 on TPU, f32 on CPU (see lane8.mm_dtype)."""
+    return x.astype(l8.mm_dtype())
+
+
+def _chunk_bucket_sums(pts_chunk, dchunk, window_bits: int):
+    """One chunk's per-window bucket sums → (3, L8, W, B).
+
+    pts_chunk: (C, 3, L) uint32 16-bit-limb points;
+    dchunk: (W, C) uint32 digits.
+    """
+    W, C = dchunk.shape
+    B = 1 << window_bits
+    K = min(SCAN_COLS, C)
+    T = C // K
+    L8 = l8.BFQ.L8
+
+    # sort each window's digits; gather points per window (leading-axis
+    # row gather — the one indexed op TPUs do well)
+    idx0 = jax.lax.broadcasted_iota(jnp.uint32, (W, C), 1)
+    sorted_d, perm = jax.lax.sort_key_val(dchunk, idx0, dimension=1)
+    spts = jnp.take(pts_chunk, perm, axis=0)        # (W, C, 3, L)
+    lanes = jnp.transpose(l8.u16_to_u8_limbs(spts, axis=-1),
+                          (2, 3, 0, 1)).astype(jnp.float32)  # (3,L8,W,C)
+
+    # within-tile inclusive prefix: scan over the K columns of T tiles,
+    # all windows riding the lane axis (width W·T per step)
+    arr = lanes.reshape(3, L8, W, T, K)
+    arr = jnp.moveaxis(arr, -1, 0)                  # (K, 3, L8, W, T)
+    arr = arr.reshape(K, 3, L8, W * T)
+
+    def step(carry, row):
+        new = _padd(carry, row)
+        return new, new
+
+    carry0 = l8.g18_infinity((W * T,))
+    totals, within = jax.lax.scan(step, carry0, arr)  # within: (K,3,L8,W·T)
+    within = jnp.moveaxis(within.reshape(K, 3, L8, W, T), 0, -1)
+    within = within.reshape(3, L8, W, C)            # position c = t·K + k
+    totals = totals.reshape(3, L8, W, T)
+
+    # exclusive per-tile offsets from the inclusive tile prefix
+    offs_inc = _hs_prefix_masked(totals)
+    offsets = jnp.concatenate(
+        [_inf4(W, 1), offs_inc[..., :-1]], axis=-1)
+
+    # run-end one-hot: OH[w,c,b] = 1 iff position c closes digit b's run.
+    # Every (w,b) output of the einsums below therefore selects EXACTLY ONE
+    # operand ≤ 255 (or none) — bf16-exact inputs, f32 accumulation.
+    is_end = jnp.concatenate(
+        [sorted_d[:, 1:] != sorted_d[:, :-1],
+         jnp.ones((W, 1), dtype=bool)], axis=1)
+    bidx = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, B), 2)
+    OH = _bf16((sorted_d[:, :, None] == bidx) & is_end[:, :, None])
+
+    Fw = jnp.einsum("xlwc,wcd->xlwd", _bf16(within), OH,
+                    preferred_element_type=jnp.float32)   # (3,L8,W,B)
+    valid = jnp.einsum("wcd,wc->wd", OH,
+                       jnp.ones((W, C), dtype=jnp.bfloat16),
+                       preferred_element_type=jnp.float32) > 0.0
+
+    # tile index of each run end, exact via byte-split matmuls
+    pos_tile = (jax.lax.broadcasted_iota(jnp.uint32, (C, 1), 0)
+                // jnp.uint32(K)).squeeze(-1)
+    t_lo = _bf16(pos_tile & jnp.uint32(0xFF))
+    t_hi = _bf16(pos_tile >> 8)
+    tile_idx = (jnp.einsum("wcd,c->wd", OH, t_lo,
+                           preferred_element_type=jnp.float32) +
+                256.0 * jnp.einsum("wcd,c->wd", OH, t_hi,
+                                   preferred_element_type=jnp.float32))
+    tidx = jax.lax.broadcasted_iota(jnp.float32, (1, T, 1), 1)
+    OH2 = _bf16(tile_idx[:, None, :] == tidx)             # (W, T, B)
+    Foff = jnp.einsum("xlwt,wtd->xlwd", _bf16(offsets), OH2,
+                      preferred_element_type=jnp.float32)  # (3,L8,W,B)
+
+    # global chunk prefix at each run end; invalid buckets ← infinity
+    E = _padd(Fw.reshape(3, L8, W * B),
+              Foff.reshape(3, L8, W * B)).reshape(3, L8, W, B)
+    E = jnp.where(valid[None, None], E, _inf4(W, B))
+
+    # forward-fill E over the bucket axis ("rightmost valid" Hillis-Steele;
+    # selects only, no point math). Invariant: invalid slots hold infinity.
+    F = E
+    for s in range(window_bits):
+        d = 1 << s
+        fs = jnp.concatenate([_inf4(W, d), F[..., :-d]], axis=-1)
+        vs = jnp.concatenate(
+            [jnp.zeros((W, d), dtype=bool), valid[..., :-d]], axis=-1)
+        F = jnp.where(valid[None, None], F, fs)
+        valid = valid | vs
+
+    # bucket sums of this chunk: B_d = F_d ⊖ F_{d-1}
+    Fprev = jnp.concatenate([_inf4(W, 1), F[..., :-1]], axis=-1)
+    diff = _padd(F.reshape(3, L8, W * B),
+                 l8.g18_neg(Fprev.reshape(3, L8, W * B)))
+    return diff.reshape(3, L8, W, B)
+
+
+def _weighted_window_sums(acc, window_bits: int):
+    """(3, L8, W, B) bucket totals → (3, L8, W) window sums Σ_d d·B_d
+    via Σ d·B_d = D·S_D − Σ_{d<D} S_d with S the inclusive bucket prefix."""
+    _, L8, W, B = acc.shape
+
+    S = _hs_prefix_masked(acc)                         # prefix over buckets
+    S_D = S[..., -1]                                   # (3, L8, W)
+    sum_S = _hs_prefix_masked(S)[..., -1]              # Σ_{d=0}^{D} S_d
+    sum_lt = _padd(sum_S, l8.g18_neg(S_D))             # Σ_{d<D} S_d
+
+    t = jax.lax.fori_loop(
+        0, window_bits, lambda _, a: l8.g18_double(a), S_D)
+    d_total = _padd(t, l8.g18_neg(S_D))                # D·S_D
+    return _padd(d_total, l8.g18_neg(sum_lt))          # (3, L8, W)
+
+
+@functools.partial(jax.jit, static_argnames=("window_bits",))
+def msm(points, scalars, window_bits: int = DEFAULT_WINDOW_BITS):
+    """Σ k_i·P_i. points: (N, 3, L) Montgomery projective; scalars: (N, 16)
+    canonical little-endian 16-bit limbs. Returns one (3, L) point.
+
+    N must be a multiple of 256 (pad with infinity / zero scalars);
+    window_bits ≤ 8 streams chunks (bounded memory); 16 falls back to the
+    legacy full-materialization scan (measurement/comparison path).
+    """
+    if window_bits > 8:
+        return _msm_wide(points, scalars, window_bits=window_bits)
+    n = points.shape[0]
+    W = 256 // window_bits
+    B = 1 << window_bits
+    L8 = l8.BFQ.L8
+
+    chunk = min(CHUNK, n)
+    if n % chunk:                       # chunk-align with (∞, 0) pairs
+        extra = chunk - n % chunk
+        points = jnp.concatenate([points, g1_infinity((extra,))], axis=0)
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((extra, FR.L), jnp.uint32)], axis=0)
+        n += extra
+    nchunks = n // chunk
+
+    digits = _digits_of(scalars, window_bits)          # (W, N)
+    digits = digits.reshape(W, nchunks, chunk)
+    digits = jnp.swapaxes(digits, 0, 1)                # (nchunks, W, C)
+    pts = points.reshape(nchunks, chunk, 3, FQ.L)
+
+    def body(acc, inputs):
+        pts_chunk, dchunk = inputs
+        diff = _chunk_bucket_sums(pts_chunk, dchunk, window_bits)
+        acc = _padd(acc.reshape(3, L8, W * B),
+                    diff.reshape(3, L8, W * B)).reshape(3, L8, W, B)
+        return acc, None
+
+    acc0 = _inf4(W, B)
+    acc, _ = jax.lax.scan(body, acc0, (pts, digits))
+
+    wins = _weighted_window_sums(acc, window_bits)     # (3, L8, W)
+
+    # Horner over windows, MSB window first (width-1 tail; a lax.scan +
+    # fori_loop so the whole tail is ONE add and ONE double instance —
+    # unrolling W·(wb+1) graph copies made XLA compiles explode)
+    wins_seq = jnp.moveaxis(wins, -1, 0)[::-1][..., None]   # (W, 3, L8, 1)
+
+    def horner(acc, win):
+        acc = jax.lax.fori_loop(
+            0, window_bits, lambda _, a: l8.g18_double(a), acc)
+        return l8.g18_add(acc, win), None
+
+    total, _ = jax.lax.scan(horner, l8.g18_infinity(()), wins_seq)
+    return l8.pts_from_lane8(total)[0]                 # (3, L)
+
+
+# ---------------------------------------------------------------------------
+# legacy full-materialization path (wb=16 comparison; the r3 design --
+# kept verbatim, radix-2^16 engine, as the honest comparator for the
+# window-width measurement asked for by VERDICT r3 next-round #5)
+# ---------------------------------------------------------------------------
 
 
 def _hs_prefix_lane(points):
@@ -170,7 +426,7 @@ def _window_sum(points, sorted_d, perm, window_bits: int):
 
 
 @functools.partial(jax.jit, static_argnames=("window_bits",))
-def msm(points, scalars, window_bits: int = DEFAULT_WINDOW_BITS):
+def _msm_wide(points, scalars, window_bits: int = 16):
     """Σ k_i·P_i. points: (N, 3, L) Montgomery projective; scalars: (N, 16)
     canonical little-endian 16-bit limbs. Returns one (3, L) point.
 
@@ -201,6 +457,11 @@ def msm(points, scalars, window_bits: int = DEFAULT_WINDOW_BITS):
     acc, _ = jax.lax.scan(window_body, acc0, (sorted_d, perms))
     return pts_from_lane(acc)[0]                 # (3, L)
 
+
+
+# ---------------------------------------------------------------------------
+# small-N fallback + padding helpers
+# ---------------------------------------------------------------------------
 
 #: below this point count, batched double-and-add + tree sum beats Pippenger
 #: (sort/bucket machinery is pure overhead at tiny N)

@@ -34,9 +34,19 @@ from jax.experimental import pallas as pl
 
 from . import lane8 as l8
 
-#: lanes per kernel instance. VMEM per tile ≈ (live temporaries ~20) ×
-#: (48, TILE) f32 ≈ 20·48·TILE·4 B — 2 MB at TILE=512, well under 16 MB.
-TILE = 512
+#: lanes per kernel instance. The dominant VMEM transient is the schoolbook
+#: outer product (L8, L8, TILE) f32 — 2.4 MB at 256 — plus ~20 live
+#: (L8, TILE) temporaries; 256 leaves Mosaic comfortable headroom (512 with
+#: the layer-stacked formulas blew the remote compile helper).
+TILE = 256
+
+#: canonical lane width of every pallas_call. Mosaic's compile cache keys
+#: include the GRID, so each distinct width would recompile the kernel
+#: (~900 s for the add kernel, measured twice in r4); pinning every call to
+#: ONE width makes each kernel a one-time compile. Wider inputs stream
+#: through lax.map over (N // CANON) slabs; narrower work stays on the
+#: XLA-graph byte engine (ops dispatch on width % CANON == 0).
+CANON = 8192
 
 _NCONST = len(l8.ByteLaneField.CONST_NAMES)
 
@@ -58,13 +68,13 @@ def _load_view(refs):
 def _add_kernel(*refs):
     F = _load_view(refs[:_NCONST])
     p_ref, q_ref, o_ref = refs[_NCONST:]
-    o_ref[:] = l8.g18_add(p_ref[:], q_ref[:], F=F)
+    o_ref[:] = l8.g18_add_seq(p_ref[:], q_ref[:], F=F)
 
 
 def _double_kernel(*refs):
     F = _load_view(refs[:_NCONST])
     p_ref, o_ref = refs[_NCONST:]
-    o_ref[:] = l8.g18_double(p_ref[:], F=F)
+    o_ref[:] = l8.g18_double_seq(p_ref[:], F=F)
 
 
 def _mul_kernel(*refs):
@@ -78,50 +88,107 @@ def _lane_tiles(n: int) -> int:
     return n // TILE
 
 
-@jax.jit
-def padd(p, q):
-    """(3, L8, N) ⊕ (3, L8, N) complete RCB15 add, one fused kernel pass.
+def _slabbed(call1):
+    """Wrap a fixed-width (CANON-lane) kernel call into an any-multiple
+    caller: N == CANON passes through; larger N streams slabs through ONE
+    lax.map (scan) instance, so the inner pallas_call compiles exactly
+    once regardless of problem size."""
+    def run(*xs):
+        n = xs[0].shape[-1]
+        assert n % CANON == 0, f"width {n} not a multiple of {CANON}"
+        if n == CANON:
+            return call1(*xs)
+        ns = n // CANON
+        slabbed = tuple(
+            jnp.moveaxis(x.reshape(x.shape[:-1] + (ns, CANON)), -2, 0)
+            for x in xs)
+        out = jax.lax.map(lambda args: call1(*args), slabbed)
+        return jnp.moveaxis(out, 0, -2).reshape(
+            out.shape[1:-2] + (ns * CANON,))
+    return run
 
-    N must be a multiple of TILE (pad with anything; lanes are independent).
-    """
-    n = p.shape[-1]
+
+def _padd1(p, q):
     spec = pl.BlockSpec((3, l8.BFQ.L8, TILE), lambda i: (0, 0, i))
     return pl.pallas_call(
         _add_kernel,
-        grid=(_lane_tiles(n),),
+        grid=(_lane_tiles(CANON),),
         in_specs=_const_specs() + [spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(p.shape, jnp.float32),
     )(*l8.BFQ.const_args(), p, q)
 
 
-@jax.jit
-def pdouble(p):
-    """(3, L8, N) complete RCB15 doubling, one fused kernel pass."""
-    n = p.shape[-1]
+def _pdouble1(p):
     spec = pl.BlockSpec((3, l8.BFQ.L8, TILE), lambda i: (0, 0, i))
     return pl.pallas_call(
         _double_kernel,
-        grid=(_lane_tiles(n),),
+        grid=(_lane_tiles(CANON),),
         in_specs=_const_specs() + [spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(p.shape, jnp.float32),
     )(*l8.BFQ.const_args(), p)
 
 
-@jax.jit
-def pmul(a, b):
-    """(L8, N) Montgomery products, one fused kernel pass (microbench /
-    building block; the point kernels above are the production surface)."""
-    n = a.shape[-1]
+def _pmul1(a, b):
     spec = pl.BlockSpec((l8.BFQ.L8, TILE), lambda i: (0, i))
     return pl.pallas_call(
         _mul_kernel,
-        grid=(_lane_tiles(n),),
+        grid=(_lane_tiles(CANON),),
         in_specs=_const_specs() + [spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(a.shape, jnp.float32),
     )(*l8.BFQ.const_args(), a, b)
+
+
+#: (3, L8, N) ⊕ (3, L8, N) complete RCB15 add, fused per CANON slab.
+padd = jax.jit(_slabbed(_padd1))
+
+#: (3, L8, N) complete RCB15 doubling, fused per CANON slab.
+pdouble = jax.jit(_slabbed(_pdouble1))
+
+#: (L8, N) Montgomery products, fused per CANON slab.
+pmul = jax.jit(_slabbed(_pmul1))
+
+
+# -- generic fused field ops (any ByteLaneField: Fq and Fr) -----------------
+
+_FIELD_CALLS = {}
+
+
+def pfield(op: str, F, *args):
+    """One fused kernel pass of ByteLaneField.<op> on (L8, N) f32 arrays.
+
+    Used by the polynomial pipeline (ops/poly.py) for the Fr hot ops
+    (mont_mul / add / sub at row width); same VMEM-fusion rationale as the
+    point kernels above. N must be a multiple of TILE.
+    """
+    key = (op, F.base.name)
+    fn = _FIELD_CALLS.get(key)
+    if fn is None:
+        nconst = len(F.CONST_NAMES)
+        nargs = len(args)
+
+        def kernel(*refs):
+            Fv = F.kernel_view(*(r[:] for r in refs[:nconst]))
+            ins = [r[:] for r in refs[nconst:-1]]
+            refs[-1][:] = getattr(Fv, op)(*ins)
+
+        cspecs = [pl.BlockSpec(c.shape, functools.partial(_zero_idx, c.ndim))
+                  for c in F.const_args()]
+
+        def call1(*xs):
+            spec = pl.BlockSpec((F.L8, TILE), lambda i: (0, i))
+            return pl.pallas_call(
+                kernel,
+                grid=(_lane_tiles(CANON),),
+                in_specs=cspecs + [spec] * nargs,
+                out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct(xs[0].shape, jnp.float32),
+            )(*F.const_args(), *xs)
+
+        fn = _FIELD_CALLS[key] = jax.jit(_slabbed(call1))
+    return fn(*args)
 
 
 @functools.cache
@@ -132,7 +199,7 @@ def available() -> bool:
     (ops/msm.py) falls back to the XLA-graph engine when this is False.
     """
     try:
-        x = l8.g18_infinity((TILE,))
+        x = l8.g18_infinity((CANON,))
         jax.block_until_ready(padd(x, x))
         return True
     except Exception:  # pragma: no cover - backend-specific
