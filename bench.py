@@ -33,7 +33,7 @@ Diagnostics go to stderr. Bases are cached under artifacts/.
 Env knobs: BENCH_LOG_T (row log-size, default 16), BENCH_ITERS (default 5),
 BENCH_MSM_LOG_N (default "16,20,22"), BENCH_NTT_LOG_N (default "16,20,22"),
 BENCH_SRS_SCALE (default 20: time an SRS generate at scale/machines 8),
-BENCH_BUDGET_S (default 1500), BENCH_PROFILE=<dir> (jax.profiler trace of
+BENCH_BUDGET_S (default 2400), BENCH_PROFILE=<dir> (jax.profiler trace of
 one proving iteration, recorded in the headline stage).
 """
 
@@ -60,7 +60,7 @@ MSM_SIZES = [int(s) for s in
 NTT_SIZES = [int(s) for s in
              os.environ.get("BENCH_NTT_LOG_N", "16,20,22").split(",") if s]
 SRS_SCALE = int(os.environ.get("BENCH_SRS_SCALE", "20"))
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 PROFILE_DIR = os.environ.get("BENCH_PROFILE")
 
 # fixed, publicly-known trapdoor: lets the self-check recompute every output
@@ -229,18 +229,29 @@ def stage_msm(log_n: int) -> dict:
              jnp.concatenate([bases16] * reps, axis=0))[:n]
 
     wb = jmsm.pick_window_bits(n)
-    fn = jax.jit(lambda pts, sc: jmsm.msm(pts, sc, window_bits=wb))
+    fn = lambda pts, sc: jmsm.msm_auto(pts, sc, window_bits=wb)  # noqa: E731
+    # (msm_auto slices >2^20 problems into separate programs — the axon
+    # worker faults executing any single 2^21+ MSM program; each inner
+    # msm() call is itself jitted)
     key = jax.random.PRNGKey(7 + log_n)
-    scs = [FR.from_mont(pn._uniform_fr(jax.random.fold_in(key, i), (n,)))
-           for i in range(ITERS + 1)]
+    # fewer runs at the big shapes: a 2^22 MSM is ~2.5 min/run
+    iters = min(ITERS, 5 if log_n <= 18 else (3 if log_n <= 20 else 2))
+    # scalars generated at 2^16 and TILED on device: FR.to_mont at ≥2^21
+    # through the limb-minor engine materializes a 10 GB pad intermediate
+    # (the r4 msm_22 OOM report names field.py:233) and MSM timing is
+    # data-independent; the tiling period matches the bases' so the O(1)
+    # oracle fold still covers every term
+    scs16 = [FR.from_mont(pn._uniform_fr(jax.random.fold_in(key, i),
+                                         (min(n, n16),)))
+             for i in range(iters + 1)]
+    scs = ([jnp.tile(s, (reps, 1)) for s in scs16] if n > n16 else scs16)
     med, times, compile_s = median_time(
         fn, [(bases, s) for s in scs[1:]], (bases, scs[0]))
 
-    # self-check run 0: Σ k_c·τ^(c mod 2^16) — fold scalars, Horner, 1 mul
-    k_ints = _limbs_to_ints(np.asarray(scs[0]))
-    folded = [0] * min(n, n16)
-    for c, k in enumerate(k_ints):
-        folded[c % n16] = (folded[c % n16] + k) % o.R
+    # self-check run 0: Σ k_c·τ^(c mod 2^16) — fold scalars, Horner, 1 mul;
+    # with period-n16 tiling, folded[j] = reps·k16[j]
+    k_ints = _limbs_to_ints(np.asarray(scs16[0]))
+    folded = [(max(1, reps) * k) % o.R for k in k_ints]
     g_tau = o.poly_eval(folded, TAU)
     want = o.G1.to_affine(o.G1.mul(o.G1.from_affine(o.G1_GEN), g_tau))
     got = o.G1.to_affine(cv.g1_decode(np.asarray(force(fn(bases, scs[0])))
@@ -269,6 +280,7 @@ def _limbs_to_ints(limbs: np.ndarray):
 def stage_ntt(log_n: int) -> dict:
     """NTT-only at 2^log_n with an iNTT(NTT(x)) == x roundtrip check."""
     import jax
+    import jax.numpy as jnp
     from zkp_subnet_tpu.ops import ntt as jntt
     from zkp_subnet_tpu.models import pianist as pn
 
@@ -277,8 +289,14 @@ def stage_ntt(log_n: int) -> dict:
     jntt._ensure_tables(log_n, True)
     fn = jax.jit(lambda v: jntt.ntt(v, inverse=False))
     key = jax.random.PRNGKey(11 + log_n)
-    vs = [pn._uniform_fr(jax.random.fold_in(key, i), (n,))
+    # generate at ≤2^20 and tile: the limb-minor to_mont inside _uniform_fr
+    # OOMs beyond that (10 GB pad intermediate), and NTT timing is
+    # data-independent
+    ngen = min(n, 1 << 20)
+    vs = [pn._uniform_fr(jax.random.fold_in(key, i), (ngen,))
           for i in range(ITERS + 1)]
+    if n > ngen:
+        vs = [jnp.tile(v, (n // ngen, 1)) for v in vs]
     med, times, compile_s = median_time(
         fn, [(v,) for v in vs[1:]], (vs[0],))
 
@@ -425,9 +443,10 @@ def main() -> int:
     # budget needed to even start; cap_s bounds the subprocess.
     plan = [("field_layouts", 60, 420)]
     plan += [(f"ntt_{lg}", 60, 420) for lg in NTT_SIZES]
-    plan += [(f"msm_{lg}", 120 + 30 * max(0, lg - 16), 600)
+    plan += [(f"msm_{lg}", 120 + 30 * max(0, lg - 16),
+              600 if lg <= 18 else (700 if lg <= 20 else 1100))
              for lg in MSM_SIZES]
-    plan += [("srs", 240, 600)]
+    plan += [("srs", 240, 900)]
 
     extras = {}
     value = None

@@ -212,11 +212,13 @@ def g1_fixed_base_mul(tables, scalars):
     (N, 16) canonical little-endian 16-bit limb scalars → (N, 3, L).
 
     One lax.scan over the W windows; each step is a (D, 3, L) gather by
-    digit plus one complete lane-major add (ops/lane.py — batch on TPU
-    lanes) — W-1 effective adds per scalar, ~8× cheaper than
-    double-and-add, and the traced graph holds a single add instance.
+    digit plus one complete byte-lane add (ops/lane8.py, through the fused
+    Pallas kernel at aligned widths) — W-1 effective adds per scalar, ~8×
+    cheaper than double-and-add, and the traced graph holds a single add
+    instance.
     """
-    from .lane import g1l_add, g1l_infinity, pts_to_lane, pts_from_lane
+    from . import lane8 as l8
+    from . import pallas_g1 as pg
     W, D = tables.shape[0], tables.shape[1]
     wb = 256 // W
     per_limb = 16 // wb
@@ -228,12 +230,13 @@ def g1_fixed_base_mul(tables, scalars):
     def step(acc, td):
         tab, d = td
         # gather rows in point-major layout (regular major-axis take),
-        # then add in the fast lane layout
-        return g1l_add(acc, pts_to_lane(jnp.take(tab, d, axis=0))), None
+        # then add in the fast byte-lane layout
+        return pg.dispatch_padd(
+            acc, l8.pts_to_lane8(jnp.take(tab, d, axis=0))), None
 
-    acc0 = g1l_infinity((scalars.shape[0],))
+    acc0 = l8.g18_infinity((scalars.shape[0],))
     acc, _ = jax.lax.scan(step, acc0, (tables, digits_t))
-    return pts_from_lane(acc)
+    return l8.pts_from_lane8(acc)
 
 
 @jax.jit

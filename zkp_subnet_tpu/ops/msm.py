@@ -54,8 +54,9 @@ DEFAULT_WINDOW_BITS = 8
 
 #: lanes per streamed chunk (points per window per scan step = CHUNK).
 #: Working set per chunk ≈ W·CHUNK lanes × 48 limbs × 3 coords × 4 B
-#: ≈ 150 MB at 4096 — independent of N.
-CHUNK = 4096
+#: ≈ 150 MB at 4096 — independent of N. Env-tunable for measurement
+#: (ZKP_MSM_CHUNK).
+CHUNK = int(__import__("os").environ.get("ZKP_MSM_CHUNK", "4096"))
 
 #: columns per tile in the within-chunk prefix scan (sequential scan
 #: steps per chunk); tiles T = CHUNK // K ride the lane axis.
@@ -69,23 +70,10 @@ def pick_window_bits(n: int) -> int:
     return 8
 
 
-def _use_pallas(width: int) -> bool:
-    return (width % pg.CANON == 0 and
-            jax.default_backend() not in ("cpu",))
-
-
-def _padd(p, q):
-    """Dispatch: Pallas fused kernel on TPU at aligned widths, XLA-graph
-    byte engine otherwise (CPU tests, narrow tails)."""
-    if _use_pallas(p.shape[-1]) and p.shape == q.shape and p.ndim == 3:
-        return pg.padd(p, q)
-    return l8.g18_add(p, q)
-
-
-def _pdouble(p):
-    if _use_pallas(p.shape[-1]) and p.ndim == 3:
-        return pg.pdouble(p)
-    return l8.g18_double(p)
+#: Pallas fused kernel on TPU at aligned widths, XLA-graph byte engine
+#: otherwise (CPU tests, narrow tails)
+_padd = pg.dispatch_padd
+_pdouble = pg.dispatch_pdouble
 
 
 def _digits_of(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
@@ -467,6 +455,17 @@ def _msm_wide(points, scalars, window_bits: int = 16):
 #: (sort/bucket machinery is pure overhead at tiny N)
 NAIVE_THRESHOLD = 2048
 
+#: largest N a single MSM program is allowed to cover. The axon v5e worker
+#: deterministically dies ("kernel fault") EXECUTING any 2^21+ MSM program
+#: (r4 bisect: inputs build fine, AOT compile fine, crash on run; chunk
+#: size / scan trip count / launch volume all ruled out — 2^20@256 chunks
+#: runs, 2^21@128 chunks crashes), while 2^20 programs are stable across
+#: many runs. msm_auto slices bigger problems into 2^20-point programs and
+#: sums the partial results — MSM is additive, the extra cost is
+#: (N/2^20 − 1) single point-adds.
+MAX_PROGRAM_N = int(__import__("os").environ.get(
+    "ZKP_MSM_MAX_N", str(1 << 20)))
+
 
 @jax.jit
 def msm_naive(points, scalars):
@@ -487,7 +486,9 @@ def msm_naive(points, scalars):
 
 
 def msm_auto(points, scalars, window_bits=None):
-    """Dispatch to the naive or Pippenger path by problem size.
+    """Dispatch to the naive or Pippenger path by problem size, slicing
+    problems beyond MAX_PROGRAM_N into separately-executed programs whose
+    partial sums combine with a handful of point-adds (see MAX_PROGRAM_N).
 
     window_bits=None picks the size-optimal window (``pick_window_bits``);
     pass an explicit value to override (tests pin 8 for the CPU backend).
@@ -497,6 +498,17 @@ def msm_auto(points, scalars, window_bits=None):
         return msm_naive(points, scalars)
     if window_bits is None:
         window_bits = pick_window_bits(n)
+    if n > MAX_PROGRAM_N and window_bits <= 8:
+        from .curve import g1_sum
+        parts = []
+        for off in range(0, n, MAX_PROGRAM_N):
+            sl = slice(off, min(off + MAX_PROGRAM_N, n))
+            parts.append(msm(*pad_for_msm(points[sl], scalars[sl]),
+                             window_bits=window_bits))
+        total = jnp.stack(parts, axis=0)
+        pad = -len(parts) % (1 << (len(parts) - 1).bit_length())
+        return g1_sum(jnp.concatenate(
+            [total, g1_infinity((pad,))], axis=0) if pad else total)
     return msm(*pad_for_msm(points, scalars), window_bits=window_bits)
 
 

@@ -38,7 +38,7 @@ from . import lane8 as l8
 #: outer product (L8, L8, TILE) f32 — 2.4 MB at 256 — plus ~20 live
 #: (L8, TILE) temporaries; 256 leaves Mosaic comfortable headroom (512 with
 #: the layer-stacked formulas blew the remote compile helper).
-TILE = 256
+TILE = int(__import__("os").environ.get("ZKP_PALLAS_TILE", "256"))
 
 #: canonical lane width of every pallas_call. Mosaic's compile cache keys
 #: include the GRID, so each distinct width would recompile the kernel
@@ -104,7 +104,7 @@ def _slabbed(call1):
             for x in xs)
         out = jax.lax.map(lambda args: call1(*args), slabbed)
         return jnp.moveaxis(out, 0, -2).reshape(
-            out.shape[1:-2] + (ns * CANON,))
+            out.shape[1:-1] + (ns * CANON,))
     return run
 
 
@@ -191,6 +191,73 @@ def pfield(op: str, F, *args):
     return fn(*args)
 
 
+class OpPallasField:
+    """A ByteLaneField facade whose mul/add/sub each run as ONE fused
+    pfield kernel — the op-granularity alternative to the whole-point
+    kernels. Three tiny kernels (seconds of Mosaic compile each, vs ~18
+    minutes for the fused add kernel, which the axon remote-compile path
+    cannot cache across processes) at the cost of one HBM round trip per
+    field op. Used by the dispatchers below when ZKP_PALLAS_MODE=ops."""
+
+    def __init__(self, F):
+        self.F = F
+        self.L8 = F.L8
+        self.b3_col = F.b3_col
+        self.one_col = F.one_col
+
+    def mont_mul(self, a, b):
+        return pfield("mont_mul", self.F, a, b)
+
+    def add(self, a, b):
+        return pfield("add", self.F, a, b)
+
+    def sub(self, a, b):
+        return pfield("sub", self.F, a, b)
+
+
+_OPFQ = None
+
+
+def op_field():
+    global _OPFQ
+    if _OPFQ is None:
+        _OPFQ = OpPallasField(l8.BFQ)
+    return _OPFQ
+
+
+#: kernel granularity: "fused" = whole-point kernels (fastest steady-state,
+#: ~23 min of uncacheable Mosaic compiles per process), "ops" = per-field-op
+#: kernels (seconds of compile, ~field-op HBM boundaries). Measured pair in
+#: BENCH extras / PROFILE.md.
+MODE = __import__("os").environ.get("ZKP_PALLAS_MODE", "ops")
+
+
+# -- width-dispatch helpers (shared by msm/poly/curve hot paths) ------------
+
+
+def aligned(width: int) -> bool:
+    """True when the fused kernels should take this op: CANON-aligned width
+    on a non-CPU backend (CPU tests and narrow tails use the XLA-graph
+    byte engine)."""
+    return width % CANON == 0 and jax.default_backend() not in ("cpu",)
+
+
+def dispatch_padd(p, q):
+    if aligned(p.shape[-1]) and p.shape == q.shape and p.ndim == 3:
+        if MODE == "fused":
+            return padd(p, q)
+        return l8.g18_add_seq(p, q, F=op_field())
+    return l8.g18_add(p, q)
+
+
+def dispatch_pdouble(p):
+    if aligned(p.shape[-1]) and p.ndim == 3:
+        if MODE == "fused":
+            return pdouble(p)
+        return l8.g18_double_seq(p, F=op_field())
+    return l8.g18_double(p)
+
+
 @functools.cache
 def available() -> bool:
     """True when the Pallas kernels compile+run on the current backend.
@@ -199,8 +266,8 @@ def available() -> bool:
     (ops/msm.py) falls back to the XLA-graph engine when this is False.
     """
     try:
-        x = l8.g18_infinity((CANON,))
-        jax.block_until_ready(padd(x, x))
+        x = l8.BFQ.zeros((CANON,))
+        jax.block_until_ready(pfield("add", l8.BFQ, x, x))
         return True
     except Exception:  # pragma: no cover - backend-specific
         return False

@@ -34,20 +34,15 @@ from . import pallas_g1 as pg
 BFR = l8.BFR
 
 
-def _use_pallas(width: int) -> bool:
-    return (width % pg.CANON == 0 and
-            jax.default_backend() not in ("cpu",))
-
-
 def _fmul(a, b):
     """(L8, N) byte-lane Montgomery product — fused kernel when aligned."""
-    if _use_pallas(a.shape[-1]) and a.shape == b.shape and a.ndim == 2:
+    if pg.aligned(a.shape[-1]) and a.shape == b.shape and a.ndim == 2:
         return pg.pfield("mont_mul", BFR, a, b)
     return BFR.mont_mul(a, b)
 
 
 def _fadd(a, b):
-    if _use_pallas(a.shape[-1]) and a.shape == b.shape and a.ndim == 2:
+    if pg.aligned(a.shape[-1]) and a.shape == b.shape and a.ndim == 2:
         return pg.pfield("add", BFR, a, b)
     return BFR.add(a, b)
 
