@@ -287,7 +287,10 @@ def stage_ntt(log_n: int) -> dict:
     n = 1 << log_n
     jntt._ensure_tables(log_n, False)
     jntt._ensure_tables(log_n, True)
-    fn = jax.jit(lambda v: jntt.ntt(v, inverse=False))
+    # no outer jit: ntt() is jitted internally, and an outer trace would
+    # re-capture the twiddle tables as embedded constants (268 MB at 2^22 →
+    # remote-compile HTTP 413)
+    fn = lambda v: jntt.ntt(v, inverse=False)  # noqa: E731
     key = jax.random.PRNGKey(11 + log_n)
     # generate at ≤2^20 and tile: the limb-minor to_mont inside _uniform_fr
     # OOMs beyond that (10 GB pad intermediate), and NTT timing is
@@ -300,7 +303,7 @@ def stage_ntt(log_n: int) -> dict:
     med, times, compile_s = median_time(
         fn, [(v,) for v in vs[1:]], (vs[0],))
 
-    inv = jax.jit(lambda v: jntt.intt(v))
+    inv = jntt.intt
     back = np.asarray(force(inv(fn(vs[0]))))
     if not (back == np.asarray(force(vs[0]))).all():
         raise SystemExit(f"SELF-CHECK FAILED: ntt 2^{log_n} roundtrip")

@@ -36,6 +36,13 @@ from ..utils import oracle as o
 #: max log-size handled by the direct stage-unrolled kernel
 BASE_LOG = 11
 
+#: max batch of base transforms evaluated at once. The fully-batched 2^22
+#: Bailey decomposition (2048 batches of 2048) keeps several hundred-MB
+#: stage copies live at once and OOMs the 16 GB chip (r4: 17.5 GB
+#: requested); batches beyond this stream through one lax.map instance.
+MAX_BASE_BATCH = int(__import__("os").environ.get(
+    "ZKP_NTT_MAX_BATCH", "1024"))
+
 _twiddle_cache: Dict[Tuple[int, bool], jnp.ndarray] = {}
 _wmat_cache: Dict[Tuple[int, int, bool], jnp.ndarray] = {}
 
@@ -65,6 +72,22 @@ def _twiddle_matrix(log_n1: int, log_n2: int, inverse: bool) -> jnp.ndarray:
             jax.vmap(lambda base: FR.powers(base, n2)),
             static_argnums=())(col)
     return _wmat_cache[key]
+
+
+def _collect_tables(log_n: int, inverse: bool):
+    """The twiddle pytree for a size-2^log_n transform, as jit ARGUMENTS.
+
+    Closed-over tables become embedded HLO constants; at 2^22 the Bailey
+    twiddle matrix is 268 MB and the axon remote-compile POST dies with
+    HTTP 413 (request length limit). Passing them as arguments keeps the
+    program text small at any size."""
+    if log_n <= BASE_LOG:
+        return (twiddles(log_n, inverse),) if log_n >= 1 else ()
+    log_n1 = (log_n + 1) // 2
+    log_n2 = log_n - log_n1
+    return (_collect_tables(log_n2, inverse),
+            _twiddle_matrix(log_n1, log_n2, inverse),
+            _collect_tables(log_n1, inverse))
 
 
 def _ntt_base(x: jnp.ndarray, tw: jnp.ndarray) -> jnp.ndarray:
@@ -100,32 +123,52 @@ def _ntt_base(x: jnp.ndarray, tw: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(v, (2, 0, 1))           # (R, n, L)
 
 
-def _ntt_batched(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
-    """Unscaled NTT of R batched size-n transforms. x: (R, n, L) Montgomery."""
+def _ntt_batched(x: jnp.ndarray, inverse: bool, tables) -> jnp.ndarray:
+    """Unscaled NTT of R batched size-n transforms. x: (R, n, L) Montgomery;
+    ``tables`` is the matching _collect_tables pytree."""
     R, n = x.shape[0], x.shape[1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "size must be a power of two"
     if log_n == 0:
         return x
     if log_n <= BASE_LOG:
-        return _ntt_base(x, twiddles(log_n, inverse))
+        if R > MAX_BASE_BATCH and R % MAX_BASE_BATCH == 0:
+            tw = tables[0]
+            g = R // MAX_BASE_BATCH
+            xs = x.reshape(g, MAX_BASE_BATCH, n, FR.L)
+            out = jax.lax.map(lambda v: _ntt_base(v, tw), xs)
+            return out.reshape(R, n, FR.L)
+        return _ntt_base(x, tables[0])
 
     log_n1 = (log_n + 1) // 2
     log_n2 = log_n - log_n1
     n1, n2 = 1 << log_n1, 1 << log_n2
+    t2_tables, W, t1_tables = tables
     # A[s1, s2] = a[s1 + n1·s2]
     A = jnp.transpose(x.reshape(R, n2, n1, FR.L), (0, 2, 1, 3))
     # inner transforms over s2 (R·n1 of size n2) — one natively-batched call
-    B = _ntt_batched(A.reshape(R * n1, n2, FR.L), inverse)
+    B = _ntt_batched(A.reshape(R * n1, n2, FR.L), inverse, t2_tables)
     B = B.reshape(R, n1, n2, FR.L)
-    # twiddle: C[s1, t2] = B[s1, t2] · w^(s1·t2), lane-major (lanes = n2)
-    W = _twiddle_matrix(log_n1, log_n2, inverse)            # (n1, n2, L)
+    # twiddle: C[s1, t2] = B[s1, t2] · w^(s1·t2), lane-major (lanes = n2).
+    # Slab over s1: the full-width lane16 product pads a
+    # (R, n1, 33·L, n2) scratch — 8.25 GB at 2^22 (r4 OOM report).
     Bt = jnp.swapaxes(B, -1, -2)                            # (R, n1, L, n2)
-    Ct = LFR.mont_mul(Bt, jnp.swapaxes(W, -1, -2)[None])
+    Wt = jnp.swapaxes(W, -1, -2)                            # (n1, L, n2)
+    cap = max(1, MAX_BASE_BATCH // max(1, R))
+    if n1 > cap and n1 % cap == 0:
+        g = n1 // cap
+        Bg = jnp.moveaxis(Bt.reshape(R, g, cap, FR.L, n2), 1, 0)
+        Wg = Wt.reshape(g, cap, FR.L, n2)
+        Ct = jax.lax.map(
+            lambda bw: LFR.mont_mul(bw[0], bw[1][None]), (Bg, Wg))
+        Ct = jnp.moveaxis(Ct, 0, 1).reshape(R, n1, FR.L, n2)
+    else:
+        Ct = LFR.mont_mul(Bt, Wt[None])
     C = jnp.swapaxes(Ct, -1, -2)                            # (R, n1, n2, L)
     # outer transforms over s1 (R·n2 of size n1)
     D = _ntt_batched(
-        jnp.transpose(C, (0, 2, 1, 3)).reshape(R * n2, n1, FR.L), inverse)
+        jnp.transpose(C, (0, 2, 1, 3)).reshape(R * n2, n1, FR.L), inverse,
+        t1_tables)
     D = D.reshape(R, n2, n1, FR.L)
     # out[t1·n2 + t2] = D[t2, t1]
     return jnp.transpose(D, (0, 2, 1, 3)).reshape(R, n, FR.L)
@@ -145,14 +188,28 @@ def _ensure_tables(log_n: int, inverse: bool) -> None:
 
 
 @functools.partial(jax.jit, static_argnames=("inverse",))
-def _ntt_jit(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+def _ntt_jit(x: jnp.ndarray, tables, inverse: bool) -> jnp.ndarray:
     """Batched NTT/iNTT over axis -2 of (..., N, L) Montgomery values."""
     shape = x.shape
-    y = _ntt_batched(x.reshape(-1, shape[-2], FR.L), inverse)
+    y = _ntt_batched(x.reshape(-1, shape[-2], FR.L), inverse, tables)
     if inverse:
         n = shape[-2]
         n_inv_mont = pow(n, o.R - 2, o.R) * FR.mont_r % o.R
-        y = FR.mul_const(y, FR.to_limbs(n_inv_mont))
+        # scale through the byte engine: BOTH uint32 engines' schoolbook
+        # pads scale with full width (8.25 GB at 2^22, r4 OOM reports for
+        # field.py:233 and lane.py:180); the fused kernel path works per
+        # VMEM tile and the graph fallback only ever sees small test sizes
+        from . import lane8 as l8
+        from . import pallas_g1 as pg
+        y8 = l8.to_lane8(y.reshape(-1, FR.L))          # (32, R·n)
+        c8 = l8.to_lane8(jnp.asarray(
+            FR.to_limbs(n_inv_mont))[None])            # (32, 1)
+        cb = jnp.broadcast_to(c8, y8.shape)
+        if pg.aligned(y8.shape[-1]):
+            y8 = pg.pfield("mont_mul", l8.BFR, y8, cb)
+        else:
+            y8 = l8.BFR.mont_mul(y8, cb)
+        y = l8.from_lane8(y8)
     return y.reshape(shape)
 
 
@@ -163,7 +220,7 @@ def ntt(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """
     log_n = x.shape[0].bit_length() - 1
     _ensure_tables(log_n, inverse)
-    return _ntt_jit(x, inverse=inverse)
+    return _ntt_jit(x, _collect_tables(log_n, inverse), inverse=inverse)
 
 
 def intt(x: jnp.ndarray) -> jnp.ndarray:
@@ -175,4 +232,4 @@ def ntt_batch(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     run inside ONE natively-batched kernel (the batch rides the lane axis)."""
     log_n = x.shape[-2].bit_length() - 1
     _ensure_tables(log_n, inverse)
-    return _ntt_jit(x, inverse=inverse)
+    return _ntt_jit(x, _collect_tables(log_n, inverse), inverse=inverse)
