@@ -12,6 +12,16 @@ import os
 os.environ.setdefault("XLA_FLAGS",
                       "--xla_force_host_platform_device_count=8")
 
+# KNOWN ISSUE (r4): running the WHOLE suite in one process segfaults
+# XLA:CPU while compiling pianist.fft in tests/test_parallel.py —
+# deterministic at the same test, yet every module passes alone and in
+# pairs (test_msm+test_parallel verified), i.e. some earlier module's
+# native compile corrupts jaxlib state. Until the jaxlib bug is isolated,
+# run test_parallel in its own process:
+#   pytest tests/ -q --ignore=tests/test_parallel.py && \
+#   pytest tests/test_parallel.py -q
+# (CI does exactly this; see .github/workflows/ci.yml.)
+
 import jax
 
 # The axon TPU plugin ignores JAX_PLATFORMS; the config knob works.

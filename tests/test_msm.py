@@ -93,7 +93,9 @@ def test_pippenger_512_wb4():
 
 @pytest.mark.slow
 def test_pippenger_256_wb16():
-    """16-bit windows (the large-N production config) at small N — slow on
-    CPU because the 65k-bucket machinery dominates; correctness only."""
+    """16-bit windows (the legacy full-materialization comparison path —
+    production is wb=8 chunk-streaming, see msm.pick_window_bits) at small
+    N — slow on CPU because the 65k-bucket machinery dominates;
+    correctness only."""
     pts, scalars, want = _known_dlog_instance(256, seed=29)
     assert _run_msm(pts, scalars, 16) == want

@@ -12,9 +12,13 @@ TPU:
   relayout gather for every pad/reshape on the minor axis);
 - carry scans shift along sublanes (cheap) instead of lanes.
 
-Measured on a real TPU v5e: the limb-minor ``FQ.mont_mul`` runs 64k Fq
-multiplies in ~215 ms; this layout runs the same bit-exact math in ~2 ms
-(see bench.py extras). The algorithms themselves are identical to
+Measured on a real TPU v5e (r4, chained-op timing): the limb-minor
+``FQ.mont_mul`` runs 64k Fq multiplies in ~215 ms; this layout runs the
+same bit-exact math in ~21 ms (bench.py ``field_layouts`` extra). The
+byte-limb f32 engine + fused Pallas kernels (ops/lane8.py,
+ops/pallas_g1.py) take the same op to ~1.2 ms and carry the hot path;
+this engine remains the uint32 reference layer between the limb-minor
+boundary format and the kernels. The algorithms themselves are identical to
 ``ops.field`` / ``ops.curve`` (separated-SOS Montgomery, Kogge-Stone carries,
 RCB15 complete formulas) and are pinned bit-exact against them in
 tests/test_lane.py.

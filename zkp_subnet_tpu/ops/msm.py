@@ -46,10 +46,18 @@ from .lane import (g1l_add, g1l_double, g1l_infinity, g1l_neg,
 from . import lane8 as l8
 from . import pallas_g1 as pg
 
-#: default window size. 8-bit windows won every measured configuration on
-#: the v5e: the dense bucket machinery is O(W·2^wb) per chunk, which at
-#: wb=16 dwarfs the 2N-adds-per-window saving (see BENCH extras
-#: msm_2^20_wb8/wb16 for the measured pair).
+#: default window size. The r2/r3 cost model put a wb=16 crossover at
+#: N≈2^20 (WIDE_WINDOW_THRESHOLD); resolving it on hardware (VERDICT r3
+#: next-round #5) resolved it ARCHITECTURALLY instead: a 16-bit window
+#: needs either full-N materialization per window (the r3 design — its
+#: first wb=16 run at 2^20 is what took the chip down, and the axon worker
+#: now demonstrably faults on any single ≥2^21 MSM program regardless) or
+#: dense per-chunk bucket tables of W·2^16 points (302 MB carries and
+#: 8.6 GB one-hot operands — memory-infeasible). wb=8 chunk-streaming is
+#: the only shape that runs at the BASELINE sizes, and it measured 39.3 s
+#: at 2^20 / 157 s at 2^22 (BENCH_r04). The legacy wide path below stays
+#: for small-N correctness comparison (tests/test_msm.py::
+#: test_pippenger_256_wb16).
 DEFAULT_WINDOW_BITS = 8
 
 #: lanes per streamed chunk (points per window per scan step = CHUNK).
@@ -64,9 +72,9 @@ SCAN_COLS = 8
 
 
 def pick_window_bits(n: int) -> int:
-    """Size-aware window choice — 8 everywhere (measured: the wb=16 dense
-    bucket tables cost more than the halved window count saves; numbers in
-    BENCH_r04 extras)."""
+    """Window choice — 8 everywhere (see DEFAULT_WINDOW_BITS: the wb=16
+    alternatives are architecturally memory-infeasible at the sizes where
+    the old cost model predicted a crossover)."""
     return 8
 
 
