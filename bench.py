@@ -60,7 +60,7 @@ MSM_SIZES = [int(s) for s in
 NTT_SIZES = [int(s) for s in
              os.environ.get("BENCH_NTT_LOG_N", "16,20,22").split(",") if s]
 SRS_SCALE = int(os.environ.get("BENCH_SRS_SCALE", "20"))
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1900"))
 PROFILE_DIR = os.environ.get("BENCH_PROFILE")
 
 # fixed, publicly-known trapdoor: lets the self-check recompute every output
@@ -292,12 +292,13 @@ def stage_ntt(log_n: int) -> dict:
     # remote-compile HTTP 413)
     fn = lambda v: jntt.ntt(v, inverse=False)  # noqa: E731
     key = jax.random.PRNGKey(11 + log_n)
+    iters = min(ITERS, 5 if log_n <= 18 else 3)
     # generate at ≤2^20 and tile: the limb-minor to_mont inside _uniform_fr
     # OOMs beyond that (10 GB pad intermediate), and NTT timing is
     # data-independent
     ngen = min(n, 1 << 20)
     vs = [pn._uniform_fr(jax.random.fold_in(key, i), (ngen,))
-          for i in range(ITERS + 1)]
+          for i in range(iters + 1)]
     if n > ngen:
         vs = [jnp.tile(v, (n // ngen, 1)) for v in vs]
     med, times, compile_s = median_time(
@@ -441,28 +442,72 @@ def tpu_alive() -> bool:
     return status == "ok"
 
 
-def main() -> int:
-    # stage plan: cheap/safe first, big-shape risky ones last. min_s is the
-    # budget needed to even start; cap_s bounds the subprocess.
-    plan = [("field_layouts", 60, 420)]
-    plan += [(f"ntt_{lg}", 60, 420) for lg in NTT_SIZES]
-    plan += [(f"msm_{lg}", 120 + 30 * max(0, lg - 16),
-              600 if lg <= 18 else (700 if lg <= 20 else 1100))
-             for lg in MSM_SIZES]
-    plan += [("srs", 240, 900)]
+RESULT = {
+    "metric": f"pianist_row_commit_open_2^{LOG_T}",
+    "value": None,
+    "unit": "ms",
+    "vs_baseline": None,
+    "extras": {},
+}
 
-    extras = {}
-    value = None
-    vs_baseline = None
+
+def emit():
+    """Persist + print the CURRENT results (VERDICT r4 next-round #2: the
+    round-4 driver kill at one late stage destroyed the whole record
+    because the JSON only printed at the very end). Called after EVERY
+    stage and from the SIGTERM handler, so a kill at any point still
+    leaves (a) the latest full JSON line on stdout and (b)
+    artifacts/bench_results.json on disk."""
+    line = json.dumps(RESULT)
+    path = os.path.join(REPO, "artifacts", "bench_results.json")
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".tmp", "w") as f:
+            f.write(line + "\n")
+        os.replace(path + ".tmp", path)
+    except OSError as e:  # pragma: no cover
+        log(f"warning: could not persist {path}: {e}")
+    print(line, flush=True)
+
+
+def main() -> int:
+    import signal
+
+    def on_term(signum, frame):  # pragma: no cover - driver kill path
+        log(f"signal {signum}: emitting partial results and exiting")
+        RESULT["extras"]["killed_by_signal"] = signum
+        speed_of_light(RESULT["extras"])
+        emit()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    # stage plan: most-important numbers first (headline, then the 2^16
+    # kernels), big-shape risky ones late, srs last. min_s is the budget
+    # needed to even start; cap_s bounds the subprocess.
+    plan = []
+    plan += [(f"msm_{lg}", 120, 600) for lg in MSM_SIZES if lg <= 16]
+    plan += [(f"ntt_{lg}", 60, 420) for lg in NTT_SIZES if lg <= 16]
+    plan += [("field_layouts", 60, 420)]
+    plan += [(f"ntt_{lg}", 60, 420) for lg in NTT_SIZES if lg > 16]
+    plan += [(f"msm_{lg}", 120 + 30 * max(0, lg - 16),
+              700 if lg <= 20 else 1000)
+             for lg in MSM_SIZES if lg > 16]
+    plan += [("srs", 240, 700)]
+
+    extras = RESULT["extras"]
+    speed_of_light(extras)
 
     status, payload = run_stage("headline", timeout_s=max(60.0, min(
         900.0, remaining() - 120)))
     if status == "ok":
-        value = payload.get("value")
-        vs_baseline = payload.get("vs_baseline")
+        RESULT["value"] = payload.get("value")
+        RESULT["vs_baseline"] = payload.get("vs_baseline")
         extras.update(payload.get("extras", {}))
     else:
         extras["headline_error"] = status
+    emit()
 
     tpu_down = False
     for name, min_s, cap_s in plan:
@@ -484,15 +529,9 @@ def main() -> int:
                 log("backend is DOWN — skipping all remaining TPU stages")
                 tpu_down = True
                 extras["tpu_down_after"] = name
+        emit()
 
-    speed_of_light(extras)
-    print(json.dumps({
-        "metric": f"pianist_row_commit_open_2^{LOG_T}",
-        "value": value,
-        "unit": "ms",
-        "vs_baseline": vs_baseline,
-        "extras": extras,
-    }), flush=True)
+    emit()
     return 0
 
 

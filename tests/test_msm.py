@@ -99,3 +99,41 @@ def test_pippenger_256_wb16():
     correctness only."""
     pts, scalars, want = _known_dlog_instance(256, seed=29)
     assert _run_msm(pts, scalars, 16) == want
+
+
+def test_hs_prefix_masked_non_power_of_two_tiles():
+    """ADVICE r4 high: floor(log2 T) Hillis-Steele steps dropped early-tile
+    contributions whenever T was not a power of two (reachable via any
+    N multiple of 256 with chunk/SCAN_COLS non-power-of-two, e.g. N=2304).
+    The prefix must match a sequential sum for EVERY T."""
+    from zkp_subnet_tpu.ops import lane8 as l8
+
+    rnd = random.Random(29)
+    g = o.G1.from_affine(o.G1_GEN)
+    tables = cv.g1_fixed_base_tables()
+    for T in (3, 6):
+        dlogs = [rnd.randrange(1, o.R) for _ in range(T)]
+        pts = cv.g1_fixed_base_mul(tables, cv.fr_to_scalar_limbs(dlogs))
+        lanes = l8.pts_to_lane8(pts)          # (3, L8, T)
+        pre = jax.block_until_ready(
+            jmsm._hs_prefix_masked(lanes[:, :, None, :]))[:, :, 0, :]
+        got = cv.g1_decode(np.asarray(l8.pts_from_lane8(pre)))  # T points
+        acc = 0
+        for i in range(T):
+            acc = (acc + dlogs[i]) % o.R
+            assert (o.G1.to_affine(got[i])
+                    == o.G1.to_affine(o.G1.mul(g, acc))), f"T={T} i={i}"
+
+
+def test_pippenger_non_power_of_two_chunk(monkeypatch):
+    """End-to-end msm() with a chunk whose tile count T=chunk/SCAN_COLS is
+    not a power of two (CHUNK=24 → T=3) — the silent-wrong-result shape
+    from ADVICE r4."""
+    monkeypatch.setattr(jmsm, "CHUNK", 24)
+    jmsm.msm._clear_cache()   # shapes collide with default-CHUNK programs
+    try:
+        pts, scalars, want = _known_dlog_instance(64, seed=31)
+        pts_pad, sc_pad = jmsm.pad_for_msm(pts, scalars)
+        assert _run_msm(pts_pad, sc_pad, 8) == want
+    finally:
+        jmsm.msm._clear_cache()

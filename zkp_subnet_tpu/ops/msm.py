@@ -108,13 +108,14 @@ def _hs_prefix_masked(pts4):
     (traced-shift jnp.roll + mask instead of log2(T) unrolled concats:
     unrolling made XLA compiles explode, VERDICT r3 weak #6).
 
-    T must be a power of two. The summed total over the axis is
-    ``_hs_prefix_masked(x)[..., -1:]``.
+    Correct for ANY T ≥ 1 (the iota mask shifts infinity in, so extra
+    steps are no-ops): ceil(log2(T)) steps. The summed total over the
+    axis is ``_hs_prefix_masked(x)[..., -1:]``.
     """
     _, L8, W, T = pts4.shape
     if T == 1:
         return pts4
-    steps = T.bit_length() - 1
+    steps = (T - 1).bit_length()
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3)
     inf = _inf4(W, T)
 
@@ -255,11 +256,14 @@ def msm(points, scalars, window_bits: int = DEFAULT_WINDOW_BITS):
     if window_bits > 8:
         return _msm_wide(points, scalars, window_bits=window_bits)
     n = points.shape[0]
+    assert n % 256 == 0, f"msm: N={n} must be a multiple of 256 (pad_for_msm)"
     W = 256 // window_bits
     B = 1 << window_bits
     L8 = l8.BFQ.L8
 
     chunk = min(CHUNK, n)
+    assert chunk % SCAN_COLS == 0, (
+        f"msm: chunk={chunk} must be a multiple of SCAN_COLS={SCAN_COLS}")
     if n % chunk:                       # chunk-align with (∞, 0) pairs
         extra = chunk - n % chunk
         points = jnp.concatenate([points, g1_infinity((extra,))], axis=0)

@@ -132,12 +132,19 @@ def _ntt_batched(x: jnp.ndarray, inverse: bool, tables) -> jnp.ndarray:
     if log_n == 0:
         return x
     if log_n <= BASE_LOG:
-        if R > MAX_BASE_BATCH and R % MAX_BASE_BATCH == 0:
+        if R > MAX_BASE_BATCH:
+            # stream ceil(R / MAX_BASE_BATCH) slabs (pad the last one so a
+            # non-multiple R can't fall through to the OOMing full-batch
+            # call — ADVICE r4 low #2)
             tw = tables[0]
-            g = R // MAX_BASE_BATCH
+            g = -(-R // MAX_BASE_BATCH)
+            pad = g * MAX_BASE_BATCH - R
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad, n, FR.L), x.dtype)], axis=0)
             xs = x.reshape(g, MAX_BASE_BATCH, n, FR.L)
             out = jax.lax.map(lambda v: _ntt_base(v, tw), xs)
-            return out.reshape(R, n, FR.L)
+            return out.reshape(g * MAX_BASE_BATCH, n, FR.L)[:R]
         return _ntt_base(x, tables[0])
 
     log_n1 = (log_n + 1) // 2
@@ -155,6 +162,7 @@ def _ntt_batched(x: jnp.ndarray, inverse: bool, tables) -> jnp.ndarray:
     Bt = jnp.swapaxes(B, -1, -2)                            # (R, n1, L, n2)
     Wt = jnp.swapaxes(W, -1, -2)                            # (n1, L, n2)
     cap = max(1, MAX_BASE_BATCH // max(1, R))
+    cap = 1 << (cap.bit_length() - 1)   # power of two so it divides n1
     if n1 > cap and n1 % cap == 0:
         g = n1 // cap
         Bg = jnp.moveaxis(Bt.reshape(R, g, cap, FR.L, n2), 1, 0)

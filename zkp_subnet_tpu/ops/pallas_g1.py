@@ -163,8 +163,8 @@ def pfield(op: str, F, *args):
     (mont_mul / add / sub at row width); same VMEM-fusion rationale as the
     point kernels above. N must be a multiple of TILE.
     """
-    key = (op, F.base.name)
-    fn = _FIELD_CALLS.get(key)
+    key = (op, F.base.name, F.L8)    # L8 disambiguates the lazy 49-limb
+    fn = _FIELD_CALLS.get(key)       # engine from the canonical 48-limb one
     if fn is None:
         nconst = len(F.CONST_NAMES)
         nargs = len(args)
@@ -225,6 +225,41 @@ def op_field():
     return _OPFQ
 
 
+class OpPallasLazyField:
+    """OpPallasField analog for the lazy 49-limb engine (ops/lazy8.py):
+    mont_mul/add/sub run as fused pfield kernels; neg is a plain sign flip
+    (free in the XLA graph — the lazy engine's digits are signed)."""
+
+    def __init__(self, F):
+        self.F = F
+        self.L8 = F.L8
+        self.b3_col = F.b3_col
+        self.one_col = F.one_col
+
+    def mont_mul(self, a, b):
+        return pfield("mont_mul", self.F, a, b)
+
+    def add(self, a, b):
+        return pfield("add", self.F, a, b)
+
+    def sub(self, a, b):
+        return pfield("sub", self.F, a, b)
+
+    def neg(self, a):
+        return -a
+
+
+_OPZFQ = None
+
+
+def op_lazy_field():
+    global _OPZFQ
+    if _OPZFQ is None:
+        from . import lazy8 as lz
+        _OPZFQ = OpPallasLazyField(lz.ZFQ)
+    return _OPZFQ
+
+
 #: kernel granularity: "fused" = whole-point kernels (fastest steady-state,
 #: ~23 min of uncacheable Mosaic compiles per process), "ops" = per-field-op
 #: kernels (seconds of compile, ~field-op HBM boundaries). Measured pair in
@@ -256,6 +291,22 @@ def dispatch_pdouble(p):
             return pdouble(p)
         return l8.g18_double_seq(p, F=op_field())
     return l8.g18_double(p)
+
+
+def dispatch_ladd(p, q):
+    """Lazy-engine add: fused per-op kernels at aligned widths, stacked
+    XLA-graph formulas otherwise (CPU tests, narrow tails)."""
+    from . import lazy8 as lz
+    if aligned(p.shape[-1]) and p.shape == q.shape and p.ndim == 3:
+        return lz.g19_add_seq(p, q, F=op_lazy_field())
+    return lz.g19_add(p, q)
+
+
+def dispatch_ldouble(p):
+    from . import lazy8 as lz
+    if aligned(p.shape[-1]) and p.ndim == 3:
+        return lz.g19_double_seq(p, F=op_lazy_field())
+    return lz.g19_double(p)
 
 
 @functools.cache
