@@ -134,20 +134,14 @@ def test_lane_select_infinity_shapes():
     assert o.G1.is_infinity(back[1]) and not o.G1.is_infinity(back[0])
 
 
-def test_ntt_batch_streaming_non_multiple(rng, monkeypatch):
-    """ADVICE r4 low: R > MAX_BASE_BATCH with R NOT a multiple silently fell
-    through to the fully-batched (OOM-prone) call. Force a tiny slab cap and
-    a non-multiple batch; results must match the unstreamed path."""
+def test_ntt_batch_non_power_of_two_batch(rng):
+    """Odd batch counts (R=5) through the natively-batched byte-engine NTT
+    (the r4 uint32 engine needed batch-streaming divisibility guards here;
+    the byte engine must handle any R directly)."""
     from zkp_subnet_tpu.ops import ntt as jntt
     R, n = 5, 8
     xb = FR.encode_vec([rng.randrange(o.R) for _ in range(R * n)]
                        ).reshape(R, n, FR.L)
-    want = [o.ntt(FR.decode_vec(xb[i])) for i in range(R)]
-    monkeypatch.setattr(jntt, "MAX_BASE_BATCH", 2)
-    jntt._ntt_jit._clear_cache()
-    try:
-        outb = jntt.ntt_batch(xb)
-        for i in range(R):
-            assert FR.decode_vec(outb[i]) == want[i], f"row {i}"
-    finally:
-        jntt._ntt_jit._clear_cache()
+    outb = jntt.ntt_batch(xb)
+    for i in range(R):
+        assert FR.decode_vec(outb[i]) == o.ntt(FR.decode_vec(xb[i])), i

@@ -137,3 +137,15 @@ def test_pippenger_non_power_of_two_chunk(monkeypatch):
         assert _run_msm(pts_pad, sc_pad, 8) == want
     finally:
         jmsm.msm._clear_cache()
+
+
+def test_pippenger_grouped_chunks(monkeypatch):
+    """G>1 chunk grouping (launch-count optimization): small CHUNK forces
+    nchunks=8 → G=8; result must match the known-dlog oracle."""
+    monkeypatch.setattr(jmsm, "CHUNK", 128)
+    jmsm.msm._clear_cache()
+    try:
+        pts, scalars, want = _known_dlog_instance(1024, seed=37)
+        assert _run_msm(pts, scalars, 8) == want
+    finally:
+        jmsm.msm._clear_cache()

@@ -44,7 +44,64 @@ from .curve import g1_infinity
 from .lane import (g1l_add, g1l_double, g1l_infinity, g1l_neg,
                    g1l_select, g1l_sum, pts_to_lane, pts_from_lane)
 from . import lane8 as l8
+from . import lazy8 as lz
 from . import pallas_g1 as pg
+
+
+class _CanonicalEngine:
+    """Byte-limb engine adapter for the chunk-streamed MSM: the canonical
+    48-limb engine (ops/lane8.py) with per-op carry canonicalization."""
+    name = "canonical"
+    L = l8.BFQ.L8
+
+    padd = staticmethod(pg.dispatch_padd)        # width-dispatched
+    pdouble = staticmethod(pg.dispatch_pdouble)
+    add = staticmethod(l8.g18_add)               # narrow/XLA-graph
+    double = staticmethod(l8.g18_double)
+    neg = staticmethod(l8.g18_neg)
+    infinity = staticmethod(l8.g18_infinity)
+    finalize = staticmethod(l8.pts_from_lane8)   # → (N, 3, L16) canonical
+
+    @staticmethod
+    def lanes_from_pts(spts):
+        """(W, C, 3, L16) uint32 gathered points → (3, L8, W, C) f32."""
+        return jnp.transpose(l8.u16_to_u8_limbs(spts, axis=-1),
+                             (2, 3, 0, 1)).astype(jnp.float32)
+
+
+class _LazyEngine:
+    """The redundant signed-digit 49-limb engine (ops/lazy8.py): no carry
+    scans or conditional subtracts anywhere in the scan; one exact Horner
+    canonicalization of the single result point at the end. ~2× fewer VPU
+    ops per point-add (PROFILE.md r4 "next lever")."""
+    name = "lazy"
+    L = lz.ZFQ.L8
+
+    padd = staticmethod(pg.dispatch_ladd)
+    pdouble = staticmethod(pg.dispatch_ldouble)
+    add = staticmethod(lz.g19_add)
+    double = staticmethod(lz.g19_double)
+    neg = staticmethod(lz.g19_neg)
+    infinity = staticmethod(lz.g19_infinity)
+    finalize = staticmethod(lz.pts_from_lane9)
+
+    @staticmethod
+    def lanes_from_pts(spts):
+        lanes = jnp.transpose(l8.u16_to_u8_limbs(spts, axis=-1),
+                              (2, 3, 0, 1)).astype(jnp.float32)
+        pad = [(0, 0), (0, 1), (0, 0), (0, 0)]
+        return jnp.pad(lanes, pad)               # zero top digit
+
+
+_ENGINES = {"canonical": _CanonicalEngine, "lazy": _LazyEngine}
+
+#: chunk-path field engine (read at TRACE time; tests monkeypatch + clear
+#: the jit cache). "lazy" is the fast path; "canonical" the r4 comparator.
+ENGINE = __import__("os").environ.get("ZKP_MSM_ENGINE", "lazy")
+
+
+def _engine():
+    return _ENGINES[ENGINE]
 
 #: default window size. The r2/r3 cost model put a wb=16 crossover at
 #: N≈2^20 (WIDE_WINDOW_THRESHOLD); resolving it on hardware (VERDICT r3
@@ -69,6 +126,10 @@ CHUNK = int(__import__("os").environ.get("ZKP_MSM_CHUNK", "4096"))
 #: columns per tile in the within-chunk prefix scan (sequential scan
 #: steps per chunk); tiles T = CHUNK // K ride the lane axis.
 SCAN_COLS = 8
+
+#: max chunks grouped per scan trip (widths ×G, launches ÷G; working set
+#: and the one-hot selection operands scale with G — ~2 GB at 8).
+GROUP = int(__import__("os").environ.get("ZKP_MSM_GROUP", "8"))
 
 
 def pick_window_bits(n: int) -> int:
@@ -95,14 +156,14 @@ def _digits_of(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
     return jnp.swapaxes(digits, 0, 1)      # (W, N)
 
 
-def _inf4(W: int, d: int):
-    """(3, L8, W, d) block of points at infinity (the (..., 3, L8, N)
+def _inf4(E, W: int, d: int):
+    """(3, L, W, d) block of points at infinity (the (..., 3, L, N)
     helper puts batch dims leading; these arrays keep W inside)."""
-    return jnp.broadcast_to(l8.g18_infinity(())[..., None],
-                            (3, l8.BFQ.L8, W, d))
+    return jnp.broadcast_to(E.infinity(())[..., None],
+                            (3, E.L, W, d))
 
 
-def _hs_prefix_masked(pts4):
+def _hs_prefix_masked(pts4, E=_CanonicalEngine):
     """Inclusive Hillis-Steele prefix over the LAST axis of (3, L8, W, T)
     points — one fori_loop whose body holds the ONLY point-add instance
     (traced-shift jnp.roll + mask instead of log2(T) unrolled concats:
@@ -117,14 +178,14 @@ def _hs_prefix_masked(pts4):
         return pts4
     steps = (T - 1).bit_length()
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3)
-    inf = _inf4(W, T)
+    inf = _inf4(E, W, T)
 
     def body(i, pts):
         d = jnp.int32(1) << i
         rolled = jnp.roll(pts, d, axis=-1)
         shifted = jnp.where(lane_idx >= d, rolled, inf)
-        flat = _padd(pts.reshape(3, L8, W * T),
-                     shifted.reshape(3, L8, W * T))
+        flat = E.padd(pts.reshape(3, L8, W * T),
+                      shifted.reshape(3, L8, W * T))
         return flat.reshape(3, L8, W, T)
 
     return jax.lax.fori_loop(0, steps, body, pts4)
@@ -135,25 +196,33 @@ def _bf16(x):
     return x.astype(l8.mm_dtype())
 
 
-def _chunk_bucket_sums(pts_chunk, dchunk, window_bits: int):
-    """One chunk's per-window bucket sums → (3, L8, W, B).
+def _chunk_bucket_sums(pts_chunk, dchunk, window_bits: int,
+                       E=_CanonicalEngine, group: int = 1):
+    """Per-window bucket sums of a GROUP of chunks → (3, L, W, B).
 
-    pts_chunk: (C, 3, L) uint32 16-bit-limb points;
-    dchunk: (W, C) uint32 digits.
+    pts_chunk: (G·C, 3, L16) uint32 16-bit-limb points (G chunks stacked);
+    dchunk: (W, C) uint32 digits with W = G·W_window — each chunk's W_window
+    windows ride the window axis together, so every op below is G× wider
+    (launch count ÷ G; the r5 lazy engine left the scan LAUNCH-bound).
     """
     W, C = dchunk.shape
     B = 1 << window_bits
     K = min(SCAN_COLS, C)
     T = C // K
-    L8 = l8.BFQ.L8
+    L8 = E.L
 
     # sort each window's digits; gather points per window (leading-axis
-    # row gather — the one indexed op TPUs do well)
+    # row gather — the one indexed op TPUs do well). With G > 1 the gather
+    # offsets each window row into its own chunk's point block.
     idx0 = jax.lax.broadcasted_iota(jnp.uint32, (W, C), 1)
     sorted_d, perm = jax.lax.sort_key_val(dchunk, idx0, dimension=1)
+    if group > 1:
+        wper = W // group
+        offs = (jax.lax.broadcasted_iota(jnp.uint32, (W, 1), 0)
+                // jnp.uint32(wper)) * jnp.uint32(C)
+        perm = perm + offs
     spts = jnp.take(pts_chunk, perm, axis=0)        # (W, C, 3, L)
-    lanes = jnp.transpose(l8.u16_to_u8_limbs(spts, axis=-1),
-                          (2, 3, 0, 1)).astype(jnp.float32)  # (3,L8,W,C)
+    lanes = E.lanes_from_pts(spts)                  # (3, L, W, C)
 
     # within-tile inclusive prefix: scan over the K columns of T tiles,
     # all windows riding the lane axis (width W·T per step)
@@ -162,19 +231,19 @@ def _chunk_bucket_sums(pts_chunk, dchunk, window_bits: int):
     arr = arr.reshape(K, 3, L8, W * T)
 
     def step(carry, row):
-        new = _padd(carry, row)
+        new = E.padd(carry, row)
         return new, new
 
-    carry0 = l8.g18_infinity((W * T,))
+    carry0 = E.infinity((W * T,))
     totals, within = jax.lax.scan(step, carry0, arr)  # within: (K,3,L8,W·T)
     within = jnp.moveaxis(within.reshape(K, 3, L8, W, T), 0, -1)
     within = within.reshape(3, L8, W, C)            # position c = t·K + k
     totals = totals.reshape(3, L8, W, T)
 
     # exclusive per-tile offsets from the inclusive tile prefix
-    offs_inc = _hs_prefix_masked(totals)
+    offs_inc = _hs_prefix_masked(totals, E)
     offsets = jnp.concatenate(
-        [_inf4(W, 1), offs_inc[..., :-1]], axis=-1)
+        [_inf4(E, W, 1), offs_inc[..., :-1]], axis=-1)
 
     # run-end one-hot: OH[w,c,b] = 1 iff position c closes digit b's run.
     # Every (w,b) output of the einsums below therefore selects EXACTLY ONE
@@ -206,42 +275,42 @@ def _chunk_bucket_sums(pts_chunk, dchunk, window_bits: int):
                       preferred_element_type=jnp.float32)  # (3,L8,W,B)
 
     # global chunk prefix at each run end; invalid buckets ← infinity
-    E = _padd(Fw.reshape(3, L8, W * B),
-              Foff.reshape(3, L8, W * B)).reshape(3, L8, W, B)
-    E = jnp.where(valid[None, None], E, _inf4(W, B))
+    Ee = E.padd(Fw.reshape(3, L8, W * B),
+                Foff.reshape(3, L8, W * B)).reshape(3, L8, W, B)
+    Ee = jnp.where(valid[None, None], Ee, _inf4(E, W, B))
 
-    # forward-fill E over the bucket axis ("rightmost valid" Hillis-Steele;
+    # forward-fill Ee over the bucket axis ("rightmost valid" Hillis-Steele;
     # selects only, no point math). Invariant: invalid slots hold infinity.
-    F = E
+    F = Ee
     for s in range(window_bits):
         d = 1 << s
-        fs = jnp.concatenate([_inf4(W, d), F[..., :-d]], axis=-1)
+        fs = jnp.concatenate([_inf4(E, W, d), F[..., :-d]], axis=-1)
         vs = jnp.concatenate(
             [jnp.zeros((W, d), dtype=bool), valid[..., :-d]], axis=-1)
         F = jnp.where(valid[None, None], F, fs)
         valid = valid | vs
 
     # bucket sums of this chunk: B_d = F_d ⊖ F_{d-1}
-    Fprev = jnp.concatenate([_inf4(W, 1), F[..., :-1]], axis=-1)
-    diff = _padd(F.reshape(3, L8, W * B),
-                 l8.g18_neg(Fprev.reshape(3, L8, W * B)))
+    Fprev = jnp.concatenate([_inf4(E, W, 1), F[..., :-1]], axis=-1)
+    diff = E.padd(F.reshape(3, L8, W * B),
+                  E.neg(Fprev.reshape(3, L8, W * B)))
     return diff.reshape(3, L8, W, B)
 
 
-def _weighted_window_sums(acc, window_bits: int):
-    """(3, L8, W, B) bucket totals → (3, L8, W) window sums Σ_d d·B_d
+def _weighted_window_sums(acc, window_bits: int, E=_CanonicalEngine):
+    """(3, L, W, B) bucket totals → (3, L, W) window sums Σ_d d·B_d
     via Σ d·B_d = D·S_D − Σ_{d<D} S_d with S the inclusive bucket prefix."""
     _, L8, W, B = acc.shape
 
-    S = _hs_prefix_masked(acc)                         # prefix over buckets
-    S_D = S[..., -1]                                   # (3, L8, W)
-    sum_S = _hs_prefix_masked(S)[..., -1]              # Σ_{d=0}^{D} S_d
-    sum_lt = _padd(sum_S, l8.g18_neg(S_D))             # Σ_{d<D} S_d
+    S = _hs_prefix_masked(acc, E)                      # prefix over buckets
+    S_D = S[..., -1]                                   # (3, L, W)
+    sum_S = _hs_prefix_masked(S, E)[..., -1]           # Σ_{d=0}^{D} S_d
+    sum_lt = E.padd(sum_S, E.neg(S_D))                 # Σ_{d<D} S_d
 
     t = jax.lax.fori_loop(
-        0, window_bits, lambda _, a: l8.g18_double(a), S_D)
-    d_total = _padd(t, l8.g18_neg(S_D))                # D·S_D
-    return _padd(d_total, l8.g18_neg(sum_lt))          # (3, L8, W)
+        0, window_bits, lambda _, a: E.double(a), S_D)
+    d_total = E.padd(t, E.neg(S_D))                    # D·S_D
+    return E.padd(d_total, E.neg(sum_lt))              # (3, L, W)
 
 
 @functools.partial(jax.jit, static_argnames=("window_bits",))
@@ -257,9 +326,10 @@ def msm(points, scalars, window_bits: int = DEFAULT_WINDOW_BITS):
         return _msm_wide(points, scalars, window_bits=window_bits)
     n = points.shape[0]
     assert n % 256 == 0, f"msm: N={n} must be a multiple of 256 (pad_for_msm)"
+    E = _engine()
     W = 256 // window_bits
     B = 1 << window_bits
-    L8 = l8.BFQ.L8
+    L8 = E.L
 
     chunk = min(CHUNK, n)
     assert chunk % SCAN_COLS == 0, (
@@ -272,22 +342,38 @@ def msm(points, scalars, window_bits: int = DEFAULT_WINDOW_BITS):
         n += extra
     nchunks = n // chunk
 
+    # group G chunks per scan trip: all their windows ride the lane axis
+    # together (widths ×G, launches ÷G — see _chunk_bucket_sums)
+    G = 1
+    while G < GROUP and nchunks % (2 * G) == 0:
+        G *= 2
+    ntrips = nchunks // G
+
     digits = _digits_of(scalars, window_bits)          # (W, N)
-    digits = digits.reshape(W, nchunks, chunk)
-    digits = jnp.swapaxes(digits, 0, 1)                # (nchunks, W, C)
-    pts = points.reshape(nchunks, chunk, 3, FQ.L)
+    digits = digits.reshape(W, ntrips, G, chunk)
+    digits = jnp.transpose(digits, (1, 2, 0, 3))       # (ntrips, G, W, C)
+    digits = digits.reshape(ntrips, G * W, chunk)
+    pts = points.reshape(ntrips, G * chunk, 3, FQ.L)
 
     def body(acc, inputs):
         pts_chunk, dchunk = inputs
-        diff = _chunk_bucket_sums(pts_chunk, dchunk, window_bits)
-        acc = _padd(acc.reshape(3, L8, W * B),
-                    diff.reshape(3, L8, W * B)).reshape(3, L8, W, B)
-        return acc, None
+        diff = _chunk_bucket_sums(pts_chunk, dchunk, window_bits, E, G)
+        acc = E.padd(acc.reshape(3, L8, G * W * B),
+                     diff.reshape(3, L8, G * W * B))
+        return acc.reshape(3, L8, G * W, B), None
 
-    acc0 = _inf4(W, B)
+    acc0 = _inf4(E, G * W, B)
     acc, _ = jax.lax.scan(body, acc0, (pts, digits))
 
-    wins = _weighted_window_sums(acc, window_bits)     # (3, L8, W)
+    # fold the G chunk-groups of each window together (log2 G tree)
+    while G > 1:
+        G //= 2
+        a5 = acc.reshape(3, L8, 2, G * W, B)
+        acc = E.padd(a5[:, :, 0].reshape(3, L8, G * W * B),
+                     a5[:, :, 1].reshape(3, L8, G * W * B))
+        acc = acc.reshape(3, L8, G * W, B)
+
+    wins = _weighted_window_sums(acc, window_bits, E)  # (3, L, W)
 
     # Horner over windows, MSB window first (width-1 tail; a lax.scan +
     # fori_loop so the whole tail is ONE add and ONE double instance —
@@ -296,11 +382,11 @@ def msm(points, scalars, window_bits: int = DEFAULT_WINDOW_BITS):
 
     def horner(acc, win):
         acc = jax.lax.fori_loop(
-            0, window_bits, lambda _, a: l8.g18_double(a), acc)
-        return l8.g18_add(acc, win), None
+            0, window_bits, lambda _, a: E.double(a), acc)
+        return E.add(acc, win), None
 
-    total, _ = jax.lax.scan(horner, l8.g18_infinity(()), wins_seq)
-    return l8.pts_from_lane8(total)[0]                 # (3, L)
+    total, _ = jax.lax.scan(horner, E.infinity(()), wins_seq)
+    return E.finalize(total)[0]                        # (3, L16)
 
 
 # ---------------------------------------------------------------------------

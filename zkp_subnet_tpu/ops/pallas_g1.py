@@ -40,13 +40,19 @@ from . import lane8 as l8
 #: the layer-stacked formulas blew the remote compile helper).
 TILE = int(__import__("os").environ.get("ZKP_PALLAS_TILE", "256"))
 
-#: canonical lane width of every pallas_call. Mosaic's compile cache keys
-#: include the GRID, so each distinct width would recompile the kernel
-#: (~900 s for the add kernel, measured twice in r4); pinning every call to
-#: ONE width makes each kernel a one-time compile. Wider inputs stream
-#: through lax.map over (N // CANON) slabs; narrower work stays on the
-#: XLA-graph byte engine (ops dispatch on width % CANON == 0).
-CANON = 8192
+#: canonical lane widths a pallas_call may run at, largest first. Mosaic's
+#: compile cache keys include the GRID, so each distinct width recompiles
+#: the kernel (~900 s for the r4 fused add kernel); restricting calls to
+#: this short ladder bounds compiles to ≤ len(CANONS) per kernel (only the
+#: widths actually used compile, 3-4 s each for the op-level kernels).
+#: Why a ladder and not one width: per-LAUNCH overhead (~0.1 ms through
+#: the axon runtime) dominates the small field ops, while GRID steps
+#: within one launch stream at DMA speed — a 64k-lane op as one launch of
+#: grid 256 is ~8× cheaper than 8 launches of grid 32 (r5 measurement:
+#: lazy MSM stayed at 2.7 s because the scan was launch-bound).
+CANONS = tuple(int(s) for s in __import__("os").environ.get(
+    "ZKP_PALLAS_CANONS", "65536,8192").split(","))
+CANON = CANONS[-1]      # smallest: the alignment quantum for dispatch
 
 _NCONST = len(l8.ByteLaneField.CONST_NAMES)
 
@@ -88,53 +94,61 @@ def _lane_tiles(n: int) -> int:
     return n // TILE
 
 
+def _pick_canon(n: int) -> int:
+    """Largest canonical width dividing n (see CANONS)."""
+    for c in CANONS:
+        if n % c == 0:
+            return c
+    raise AssertionError(f"width {n} not a multiple of {CANONS[-1]}")
+
+
 def _slabbed(call1):
-    """Wrap a fixed-width (CANON-lane) kernel call into an any-multiple
-    caller: N == CANON passes through; larger N streams slabs through ONE
-    lax.map (scan) instance, so the inner pallas_call compiles exactly
-    once regardless of problem size."""
+    """Wrap a canon-width kernel call (``call1(canon, *xs)``) into an
+    any-multiple caller: the largest canon dividing N is chosen; N == canon
+    passes through as ONE launch; larger N streams slabs through ONE
+    lax.map (scan) instance. Each (kernel, canon) pair compiles once."""
     def run(*xs):
         n = xs[0].shape[-1]
-        assert n % CANON == 0, f"width {n} not a multiple of {CANON}"
-        if n == CANON:
-            return call1(*xs)
-        ns = n // CANON
+        canon = _pick_canon(n)
+        if n == canon:
+            return call1(canon, *xs)
+        ns = n // canon
         slabbed = tuple(
-            jnp.moveaxis(x.reshape(x.shape[:-1] + (ns, CANON)), -2, 0)
+            jnp.moveaxis(x.reshape(x.shape[:-1] + (ns, canon)), -2, 0)
             for x in xs)
-        out = jax.lax.map(lambda args: call1(*args), slabbed)
+        out = jax.lax.map(lambda args: call1(canon, *args), slabbed)
         return jnp.moveaxis(out, 0, -2).reshape(
-            out.shape[1:-1] + (ns * CANON,))
+            out.shape[1:-1] + (ns * canon,))
     return run
 
 
-def _padd1(p, q):
+def _padd1(canon, p, q):
     spec = pl.BlockSpec((3, l8.BFQ.L8, TILE), lambda i: (0, 0, i))
     return pl.pallas_call(
         _add_kernel,
-        grid=(_lane_tiles(CANON),),
+        grid=(_lane_tiles(canon),),
         in_specs=_const_specs() + [spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(p.shape, jnp.float32),
     )(*l8.BFQ.const_args(), p, q)
 
 
-def _pdouble1(p):
+def _pdouble1(canon, p):
     spec = pl.BlockSpec((3, l8.BFQ.L8, TILE), lambda i: (0, 0, i))
     return pl.pallas_call(
         _double_kernel,
-        grid=(_lane_tiles(CANON),),
+        grid=(_lane_tiles(canon),),
         in_specs=_const_specs() + [spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(p.shape, jnp.float32),
     )(*l8.BFQ.const_args(), p)
 
 
-def _pmul1(a, b):
+def _pmul1(canon, a, b):
     spec = pl.BlockSpec((l8.BFQ.L8, TILE), lambda i: (0, i))
     return pl.pallas_call(
         _mul_kernel,
-        grid=(_lane_tiles(CANON),),
+        grid=(_lane_tiles(canon),),
         in_specs=_const_specs() + [spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(a.shape, jnp.float32),
@@ -177,11 +191,11 @@ def pfield(op: str, F, *args):
         cspecs = [pl.BlockSpec(c.shape, functools.partial(_zero_idx, c.ndim))
                   for c in F.const_args()]
 
-        def call1(*xs):
+        def call1(canon, *xs):
             spec = pl.BlockSpec((F.L8, TILE), lambda i: (0, i))
             return pl.pallas_call(
                 kernel,
-                grid=(_lane_tiles(CANON),),
+                grid=(_lane_tiles(canon),),
                 in_specs=cspecs + [spec] * nargs,
                 out_specs=spec,
                 out_shape=jax.ShapeDtypeStruct(xs[0].shape, jnp.float32),
