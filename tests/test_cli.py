@@ -7,6 +7,8 @@ corruption detection (the fetch/verify story of SURVEY.md §2.12)."""
 
 import os
 
+import pytest
+
 from zkp_subnet_tpu.__main__ import main
 
 
@@ -72,3 +74,33 @@ def test_ensure_backend_honors_explicit_platform(monkeypatch):
     import pytest
     with pytest.raises(RuntimeError):
         z.ensure_backend()
+
+
+@pytest.mark.slow
+def test_localnet_worker_supervision(tmp_path):
+    """A hard-killed worker process is respawned by the localnet supervisor
+    and the coordinator rides through the outage (the reference's
+    restart-forever loop, scripts/miner_setup.sh:16-19, as a mechanism)."""
+    import subprocess
+    import sys as _sys
+
+    setup = str(tmp_path / "setup_6_2.npz")
+    pre = str(tmp_path / "precompute_6_2.npz")
+    assert main(["setup", "--setup-path", setup, "--precompute-path", pre,
+                 "--scale", "6", "--machines-scale", "2",
+                 "--generate-setup", "--generate-precompute"]) == 0
+
+    env = dict(os.environ, ZKP_TPU_PLATFORM="cpu")
+    proc = subprocess.run(
+        [_sys.executable, "-m", "zkp_subnet_tpu", "localnet",
+         "--setup-path", setup, "--precompute-path", pre,
+         "--scale", "6", "--machines-scale", "2", "--workers", "2",
+         "--rounds", "3", "--timeout", "120",
+         "--chaos-kill-after", "20"],
+        capture_output=True, text=True, timeout=900, env=env)
+    err = proc.stderr
+    assert "chaos: killing worker 0" in err
+    assert "died rc=" in err and "respawning" in err
+    # the run completes (some rounds may score the dead worker 0 while it
+    # re-warms; the loop itself must survive and finish all rounds)
+    assert "rounds ok over 2 worker processes" in proc.stdout

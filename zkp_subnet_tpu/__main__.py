@@ -245,16 +245,19 @@ def _localnet(args) -> int:
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             ports.append(s.getsockname()[1])
+    def spawn(i: int):
+        return subprocess.Popen(
+            [sys.executable, "-m", "zkp_subnet_tpu", "serve",
+             "--setup-path", args.setup_path,
+             "--precompute-path", args.precompute_path,
+             "--scale", str(args.scale),
+             "--machines-scale", str(args.machines_scale),
+             "--port", str(ports[i]), "--seed", str(100 + i)])
+
     procs = []
     try:
-        for i, port in enumerate(ports):
-            procs.append(subprocess.Popen(
-                [sys.executable, "-m", "zkp_subnet_tpu", "serve",
-                 "--setup-path", args.setup_path,
-                 "--precompute-path", args.precompute_path,
-                 "--scale", str(args.scale),
-                 "--machines-scale", str(args.machines_scale),
-                 "--port", str(port), "--seed", str(100 + i)]))
+        for i in range(n):
+            procs.append(spawn(i))
         # wait for every server to accept (includes worker warmup)
         deadline = _time.time() + args.spawn_timeout
         for port in ports:
@@ -271,6 +274,38 @@ def _localnet(args) -> int:
                     _time.sleep(1)
         print(f"{n} worker processes serving on {ports}", file=sys.stderr)
 
+        # worker supervision: respawn dead worker processes, the analog of
+        # the reference's restart-forever loops
+        # (reference: scripts/miner_setup.sh:16-19 — `while true; do ...
+        # python miner.py; done`). The coordinator's catch-and-continue
+        # round loop rides through the outage; the respawned worker
+        # re-warms and serves again.
+        import threading
+        stop = threading.Event()
+
+        def supervise():
+            while not stop.wait(1.0):
+                for i in range(n):
+                    rc = procs[i].poll()
+                    if rc is not None:
+                        print(f"worker {i} (:{ports[i]}) died rc={rc}; "
+                              "respawning", file=sys.stderr)
+                        procs[i] = spawn(i)
+
+        sup = threading.Thread(target=supervise, daemon=True)
+        if args.supervise:
+            sup.start()
+
+        if getattr(args, "chaos_kill_after", 0):
+            # test hook: hard-kill worker 0 after N seconds to demonstrate
+            # supervision (the reference's restart loop is exercised the
+            # same way: kill the miner, watch it come back)
+            def chaos():
+                _time.sleep(args.chaos_kill_after)
+                print("chaos: killing worker 0", file=sys.stderr)
+                procs[0].kill()
+            threading.Thread(target=chaos, daemon=True).start()
+
         m = srs.machines
         hotkeys = [f"local-{i}" for i in range(m)]
         urls = {u: f"http://127.0.0.1:{ports[u % n]}" for u in range(m)}
@@ -279,6 +314,7 @@ def _localnet(args) -> int:
             hotkeys=hotkeys, seed=args.seed)
         import asyncio
         ok = asyncio.run(coord.run(HttpTransport(urls), rounds=args.rounds))
+        stop.set()
         uids, weights = coord.set_weights()
         print(f"{ok}/{args.rounds} rounds ok over {n} worker processes; "
               f"weights: {dict(zip(uids.tolist(), weights.tolist()))}")
@@ -378,6 +414,11 @@ def main(argv=None) -> int:
                      type=int, default=2)
     np_.add_argument("--workers", type=int, default=2)
     np_.add_argument("--rounds", type=int, default=1)
+    np_.add_argument("--no-supervise", dest="supervise",
+                     action="store_false", default=True,
+                     help="disable automatic respawn of dead workers")
+    np_.add_argument("--chaos-kill-after", dest="chaos_kill_after",
+                     type=float, default=0.0, help=argparse.SUPPRESS)
     np_.add_argument("--timeout", type=float, default=600.0)
     np_.add_argument("--spawn-timeout", dest="spawn_timeout", type=float,
                      default=600.0)

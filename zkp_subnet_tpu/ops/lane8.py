@@ -140,13 +140,18 @@ class ByteLaneField:
         self.L8 = 2 * base.L
         self.p = base.p
         nbytes = self.L8
+        # Constants are built as NUMPY and materialized to device arrays on
+        # FIRST USE (__getattr__): module-level singletons (BFQ/BFR/ZFQ)
+        # must not initialize the XLA backend at import time, or
+        # jax.distributed.initialize() in parallel/launch.py can never run
+        # first (caught by tests/test_multiprocess.py).
+        self._np = {}
         # constants as (L8, 1) f32 columns — broadcast along lanes
-        self.p_col = jnp.asarray(_int_to_bytes(base.p, nbytes).astype(
-            np.float32).reshape(nbytes, 1))
+        self._np["p_col"] = (_int_to_bytes(base.p, nbytes).astype(
+            np.float32).reshape(nbytes, 1), jnp.float32)
         one_mont_int = base.mont_r % base.p
-        self.one_col = jnp.asarray(
-            _int_to_bytes(one_mont_int, nbytes).astype(
-                np.float32).reshape(nbytes, 1))
+        self._np["one_col"] = (_int_to_bytes(one_mont_int, nbytes).astype(
+            np.float32).reshape(nbytes, 1), jnp.float32)
         # n' = -p^{-1} mod R, R = 2^(8·L8) — same integer as the radix-2^16
         # engine's nprime, re-limbed to bytes
         R = 1 << (8 * nbytes)
@@ -156,16 +161,29 @@ class ByteLaneField:
         # MXU matrices (bf16-exact: all entries ≤ 255):
         #   m = lo(T)·n' mod R   → lower-triangular Toeplitz (L8, L8)
         #   U = m·p (full)       → Toeplitz (2·L8, L8)
-        self.nprime_mat = jnp.asarray(_toeplitz(np_bytes, nbytes),
-                                      dtype=jnp.bfloat16)
-        self.p_mat = jnp.asarray(_toeplitz(p_bytes, 2 * nbytes),
-                                 dtype=jnp.bfloat16)
+        self._np["nprime_mat"] = (_toeplitz(np_bytes, nbytes), jnp.bfloat16)
+        self._np["p_mat"] = (_toeplitz(p_bytes, 2 * nbytes), jnp.bfloat16)
         # 3·b = 12 for BLS12-381 G1 (b = 4), Montgomery form — only
         # meaningful for Fq, but kept per-field so kernel const injection
         # is uniform
-        self.b3_col = jnp.asarray(
+        self._np["b3_col"] = (
             _int_to_bytes(12 * base.mont_r % base.p, nbytes).astype(
-                np.float32).reshape(nbytes, 1))
+                np.float32).reshape(nbytes, 1), jnp.float32)
+
+    def __getattr__(self, name):
+        # deferred device materialization of the numpy constants; after the
+        # first access the jnp array is a plain instance attribute (so
+        # kernel_view's setattr of kernel-loaded refs keeps working)
+        np_map = self.__dict__.get("_np")
+        if np_map and name in np_map:
+            arr, dtype = np_map[name]
+            # concrete even if first touched under a jit/shard_map trace —
+            # otherwise the cached value would be an escaped tracer
+            with jax.ensure_compile_time_eval():
+                val = jnp.asarray(arr, dtype=dtype)
+            setattr(self, name, val)
+            return val
+        raise AttributeError(name)
 
     def const_args(self):
         """The constant arrays a Pallas kernel needs, in CONST_NAMES order."""

@@ -77,26 +77,30 @@ class LazyByteField(ByteLaneField):
         L9 = self.L8                      # sees one limb-count attribute
         Rp = 1 << (8 * L9)                # R' = 2^392
         self.mont_rp = Rp % base.p
-        self.p_col = jnp.asarray(_int_to_bytes(base.p, L9).astype(
-            np.float32).reshape(L9, 1))
-        self.one_col = jnp.asarray(_int_to_bytes(
-            self.mont_rp, L9).astype(np.float32).reshape(L9, 1))
+        # numpy constants, device-materialized on first use (see
+        # ByteLaneField.__getattr__ — imports must not init the backend)
+        self._np = {}
+        self._np["p_col"] = (_int_to_bytes(base.p, L9).astype(
+            np.float32).reshape(L9, 1), jnp.float32)
+        self._np["one_col"] = (_int_to_bytes(self.mont_rp, L9).astype(
+            np.float32).reshape(L9, 1), jnp.float32)
         # b3 = 3·b = 12 for BLS12-381 G1, in R' Montgomery form so that
         # lmul(t2, b3) = 12·t2 exactly (the formulas' only constant)
-        self.b3_col = jnp.asarray(_int_to_bytes(
-            12 * Rp % base.p, L9).astype(np.float32).reshape(L9, 1))
+        self._np["b3_col"] = (_int_to_bytes(
+            12 * Rp % base.p, L9).astype(np.float32).reshape(L9, 1),
+            jnp.float32)
         nprime = (-pow(base.p, -1, Rp)) % Rp
-        self.nprime_mat = jnp.asarray(
-            _toeplitz(_int_to_bytes(nprime, L9), L9), dtype=jnp.bfloat16)
-        self.p_mat = jnp.asarray(
-            _toeplitz(_int_to_bytes(base.p, L9), 2 * L9), dtype=jnp.bfloat16)
+        self._np["nprime_mat"] = (
+            _toeplitz(_int_to_bytes(nprime, L9), L9), jnp.bfloat16)
+        self._np["p_mat"] = (
+            _toeplitz(_int_to_bytes(base.p, L9), 2 * L9), jnp.bfloat16)
         # REDC low-half carry estimate weights: w_i = 256^(i-L9) for the top
         # 8 low digits, 0 below (values below 2^-126 would denormalize; the
         # neglected tail is < 2^-56 of the {-1,0,1} decision)
         w = np.zeros((L9, 1), dtype=np.float32)
         for i in range(L9 - 8, L9):
             w[i, 0] = 2.0 ** (8 * (i - L9))
-        self.wlo_col = jnp.asarray(w)
+        self._np["wlo_col"] = (w, jnp.float32)
 
     # -- normalization ------------------------------------------------------
 

@@ -126,9 +126,9 @@ CHUNK = int(__import__("os").environ.get("ZKP_MSM_CHUNK", "4096"))
 #: columns per tile in the within-chunk prefix scan (sequential scan
 #: steps per chunk); tiles T = CHUNK // K ride the lane axis. Total
 #: point-add lane-work per chunk ≈ W·C·(1 + log2(C/K)/K): K=8 paid a
-#: 2.1× factor (the Hillis-Steele half), K=64 pays 1.09× — the scan is
+#: 2.1× factor (the Hillis-Steele half), K=128 pays 1.05× — the scan is
 #: the dominant MSM cost, so deeper-but-narrower tiles halve it (r5).
-SCAN_COLS = int(__import__("os").environ.get("ZKP_MSM_SCAN_COLS", "64"))
+SCAN_COLS = int(__import__("os").environ.get("ZKP_MSM_SCAN_COLS", "128"))
 
 #: max chunks grouped per scan trip (widths ×G, launches ÷G; working set
 #: and the one-hot selection operands scale with G — ~2 GB at 8).

@@ -42,9 +42,13 @@ import jax
 import jax.numpy as jnp
 
 from .field import FR
-from . import lane8 as l8
-from . import pallas_g1 as pg
 from ..utils import oracle as o
+
+# NOTE: ops.lane8 / ops.pallas_g1 are imported INSIDE functions: their
+# module-level field constants are jnp arrays, and creating one initializes
+# the XLA backend — which must not happen at package-import time or
+# jax.distributed.initialize() in parallel/launch.py can never run first
+# (r5 regression caught by tests/test_multiprocess.py).
 
 #: max log-size handled by the direct stage-unrolled kernel
 BASE_LOG = 11
@@ -71,6 +75,7 @@ def twiddles(log_n: int, inverse: bool) -> jnp.ndarray:
 
 def _twiddles8(log_n: int, inverse: bool) -> jnp.ndarray:
     """Byte-lane twiddles (L8, n/2) f32 (same Montgomery values)."""
+    from . import lane8 as l8
     key = (log_n, inverse)
     if key not in _twiddle8_cache:
         _twiddle8_cache[key] = l8.to_lane8(twiddles(log_n, inverse))
@@ -94,6 +99,7 @@ def _twiddle_matrix8(log_n1: int, log_n2: int, inverse: bool) -> jnp.ndarray:
     """Byte-lane Bailey matrix, PRE-TRANSPOSED to (L8, n2, n1) so it aligns
     with the inner-transform output axes (t2, s1) without a device-side
     transpose."""
+    from . import lane8 as l8
     key = (log_n1, log_n2, inverse)
     if key not in _wmat8_cache:
         m = _twiddle_matrix(log_n1, log_n2, inverse)     # (n1, n2, L)
@@ -130,6 +136,8 @@ def _ensure_tables(log_n: int, inverse: bool) -> None:
 def _f8(op: str, *args):
     """One Fr field op on (L8, N) byte lanes: fused Pallas kernel at
     aligned widths on TPU, XLA-graph byte engine otherwise."""
+    from . import lane8 as l8
+    from . import pallas_g1 as pg
     if pg.aligned(args[0].shape[-1]):
         return pg.pfield(op, l8.BFR, *args)
     return getattr(l8.BFR, op)(*args)
@@ -197,6 +205,7 @@ def _ntt_batched8(x: jnp.ndarray, inverse: bool, tables) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("inverse",))
 def _ntt_jit(x: jnp.ndarray, tables, inverse: bool) -> jnp.ndarray:
     """Batched NTT/iNTT over axis -2 of (..., N, L) Montgomery values."""
+    from . import lane8 as l8
     shape = x.shape
     n = shape[-2]
     xb = x.reshape(-1, n, FR.L)                     # (R, n, L)

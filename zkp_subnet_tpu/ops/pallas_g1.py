@@ -34,11 +34,14 @@ from jax.experimental import pallas as pl
 
 from . import lane8 as l8
 
-#: lanes per kernel instance. The dominant VMEM transient is the schoolbook
-#: outer product (L8, L8, TILE) f32 — 2.4 MB at 256 — plus ~20 live
-#: (L8, TILE) temporaries; 256 leaves Mosaic comfortable headroom (512 with
-#: the layer-stacked formulas blew the remote compile helper).
-TILE = int(__import__("os").environ.get("ZKP_PALLAS_TILE", "256"))
+#: lanes per kernel instance. The dominant VMEM transient is the padded
+#: skew product (L9, 2·L9+1, TILE) f32 — ~9.9 MB at 512 — against the
+#: v5e's 16 MB scoped-vmem stack limit: 1024 OOMs the Mosaic compile
+#: (21.1 MB requested, r5), 512 fits and roughly HALVES the per-op kernel
+#: cost vs 256 (lazy lmul 2.77 → 1.3 ms per 64k lanes — fixed per-tile
+#: costs amortize over twice the lanes). The r4 whole-point fused kernels
+#: (MODE=fused) still want 256; set ZKP_PALLAS_TILE accordingly there.
+TILE = int(__import__("os").environ.get("ZKP_PALLAS_TILE", "512"))
 
 #: canonical lane widths a pallas_call may run at, largest first. Mosaic's
 #: compile cache keys include the GRID, so each distinct width recompiles
