@@ -40,16 +40,34 @@ def _setup(args) -> int:
             print(f"refusing to overwrite {path} (pass --overwrite)",
                   file=sys.stderr)
             return 1
-    srs = Srs.generate(scale=args.scale, machines_scale=args.machines_scale,
-                       seed=args.seed)
-    srs.save(args.setup_path, args.precompute_path)
+    if (1 << args.scale) > Srs._SIDE_CAR_LIMIT:
+        # mainnet-class shapes (scale 24/8 reference: Makefile:63-87):
+        # stream chunks straight into the sidecar — never materializes the
+        # multi-GB worker_bases on device or host
+        def progress(done, total):
+            print(f"  worker slices {done}/{total}", file=sys.stderr)
+        Srs.generate_to_disk(
+            scale=args.scale, machines_scale=args.machines_scale,
+            seed=args.seed, setup_path=args.setup_path,
+            precompute_path=args.precompute_path, progress=progress)
+    else:
+        srs = Srs.generate(scale=args.scale,
+                           machines_scale=args.machines_scale, seed=args.seed)
+        srs.save(args.setup_path, args.precompute_path)
     # integrity manifest for `check` (the reference trusts its S3 download;
     # here artifact integrity is verifiable offline)
     import hashlib
+    paths = [args.setup_path, args.precompute_path]
+    sidecar = Srs._sidecar_path(args.precompute_path)
+    if os.path.exists(sidecar):
+        paths.append(sidecar)
     with open(args.setup_path + ".sha256", "w") as f:
-        for path in (args.setup_path, args.precompute_path):
-            digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
-            f.write(f"{digest}  {os.path.basename(path)}\n")
+        for path in paths:
+            h = hashlib.sha256()
+            with open(path, "rb") as src:          # stream: sidecar is GBs
+                for block in iter(lambda: src.read(1 << 24), b""):
+                    h.update(block)
+            f.write(f"{h.hexdigest()}  {os.path.basename(path)}\n")
     print(f"wrote {args.setup_path} and {args.precompute_path} "
           f"(scale={args.scale}, machines_scale={args.machines_scale})")
     return 0
@@ -59,7 +77,9 @@ def _load_srs(args):
     from .models.srs import Srs
     if os.path.exists(args.setup_path) and os.path.exists(
             args.precompute_path):
-        return Srs.load(args.setup_path, args.precompute_path)
+        # lazy: a mainnet-size sidecar stays a host memmap and each worker
+        # transfers only its own (row_size, 3, L) slice on first prove
+        return Srs.load(args.setup_path, args.precompute_path, lazy=True)
     print("setup files not found; generating in-memory SRS", file=sys.stderr)
     return Srs.generate(scale=args.scale,
                         machines_scale=args.machines_scale, seed=args.seed)
@@ -163,15 +183,21 @@ def _check(args) -> int:
     if os.path.exists(manifest):
         want = dict(line.split()[::-1] for line in
                     open(manifest).read().splitlines() if line.strip())
-        for path in (args.setup_path, args.precompute_path):
+        for path in (args.setup_path, args.precompute_path,
+                     Srs._sidecar_path(args.precompute_path)):
             base = os.path.basename(path)
-            if base in want:
-                got = hashlib.sha256(open(path, "rb").read()).hexdigest()
-                report(f"sha256 {base}", got == want[base])
+            if base in want and os.path.exists(path):
+                h = hashlib.sha256()
+                with open(path, "rb") as src:      # stream: sidecar is GBs
+                    for block in iter(lambda: src.read(1 << 24), b""):
+                        h.update(block)
+                report(f"sha256 {base}", h.hexdigest() == want[base])
     else:
         print(f"  note: no manifest at {manifest}")
 
-    srs = Srs.load(args.setup_path, args.precompute_path)
+    # lazy: a mainnet-size sidecar stays a host memmap; the checks below
+    # touch only worker_bases[:, :2]
+    srs = Srs.load(args.setup_path, args.precompute_path, lazy=True)
     g = o.G1.from_affine(o.G1_GEN)
     g2 = srs.g2_gen
     g1x = cv.g1_decode(srs.g1_x[:min(4, srs.row_size)])

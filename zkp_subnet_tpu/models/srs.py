@@ -167,6 +167,81 @@ class Srs:
             g2_tau_y=o.G2.mul(g2, tau_y),
         )
 
+    @classmethod
+    def generate_to_disk(cls, scale: int, machines_scale: int,
+                         setup_path: str, precompute_path: str,
+                         tau_x: Optional[int] = None,
+                         tau_y: Optional[int] = None,
+                         seed: int = 0, progress=None) -> None:
+        """Stream-generate straight into the ``save()`` format.
+
+        Worker slices go chunk-by-chunk into the sidecar memmap: neither
+        device nor host ever holds more than one GEN_CHUNK of points, so the
+        reference mainnet shape — scale 24 / machines 8, a 4.8 GB sidecar
+        (reference: Makefile:63-87) — generates with ~18 MB resident per
+        step. This also sidesteps the full-width ``FR.from_mont``, whose
+        limb-minor pad intermediate OOMs at ≥2^21 (PROFILE.md big-shape
+        notes); every from_mont here is at most GEN_CHUNK wide.
+
+        ``progress`` (optional): callback(done_rows, total_rows) after each
+        worker slice, for long-run liveness logging.
+        """
+        import random
+        rnd = random.Random(seed + 0x5E70)
+        if tau_x is None:
+            tau_x = rnd.randrange(1, o.R)
+        if tau_y is None:
+            tau_y = rnd.randrange(1, o.R)
+        m = 1 << machines_scale
+        t = 1 << (scale - machines_scale)
+
+        tx_mont = FR.encode([tau_x])[0]
+        pow_x = FR.powers(tx_mont, t)                       # (t, L) Montgomery
+        lag_mont = FR.encode_vec(_lagrange_coeffs_at(tau_y, m))  # (m, L)
+
+        def host(x):
+            return np.asarray(jax.device_get(x), dtype=np.uint32)
+
+        def fixed_base_mont(mont_scalars):
+            """comb fixed-base of Montgomery scalars, GEN_CHUNK at a time."""
+            outs = []
+            for off in range(0, mont_scalars.shape[0], GEN_CHUNK):
+                canon = FR.from_mont(mont_scalars[off:off + GEN_CHUNK])
+                outs.append(host(_fixed_base_chunked(canon)))
+            return np.concatenate(outs, axis=0)
+
+        g1_x = fixed_base_mont(pow_x)
+        lagrange_y = fixed_base_mont(lag_mont)
+
+        g2 = o.G2.from_affine(o.G2_GEN)
+        np.savez_compressed(
+            setup_path,
+            version=FORMAT_VERSION, scale=scale,
+            machines_scale=machines_scale, g1_x=g1_x,
+            g2_gen=np.frombuffer(enc.g2_to_bytes(g2, False), dtype=np.uint8),
+            g2_tau_x=np.frombuffer(enc.g2_to_bytes(o.G2.mul(g2, tau_x), False),
+                                   dtype=np.uint8),
+            g2_tau_y=np.frombuffer(enc.g2_to_bytes(o.G2.mul(g2, tau_y), False),
+                                   dtype=np.uint8),
+        )
+        meta = dict(version=FORMAT_VERSION, scale=scale,
+                    machines_scale=machines_scale, lagrange_y=lagrange_y)
+        np.savez_compressed(precompute_path, sidecar=1, **meta)
+        side = np.lib.format.open_memmap(
+            cls._sidecar_path(precompute_path), mode="w+",
+            dtype=np.uint32, shape=(m, t, 3, FQ.L))
+        # one compiled program per distinct chunk shape (GEN_CHUNK-padded):
+        # scale each worker's τ_X powers by R_i(τ_Y), from_mont, comb-mul
+        row_fn = jax.jit(lambda li, px: _fixed_base_chunked(
+            FR.from_mont(FR.mont_mul(li[None, :], px))))
+        for i in range(m):
+            for off in range(0, t, GEN_CHUNK):
+                px = pow_x[off:off + GEN_CHUNK]
+                side[i, off:off + px.shape[0]] = host(row_fn(lag_mont[i], px))
+            if progress is not None:
+                progress(i + 1, m)
+        side.flush()
+
     # -- persistence ---------------------------------------------------------
 
     #: above this many coefficients, worker_bases goes to a sidecar .npy

@@ -36,6 +36,10 @@ import jax.numpy as jnp
 
 from .field import PrimeField, FQ, FR
 
+#: schoolbook column-sum formulation: "grouped" (aligned shift-FMA, default)
+#: or "skew" (pad/flatten/re-split) — A/B measured in scratch/tpu_lmul.py
+_SCHOOLBOOK = __import__("os").environ.get("ZKP_MUL_SCHOOLBOOK", "grouped")
+
 __all__ = [
     "ByteLaneField", "BFQ", "BFR",
     "u16_to_u8_limbs", "u8_to_u16_limbs", "to_lane8", "from_lane8",
@@ -332,11 +336,58 @@ class ByteLaneField:
         flat = flat[..., : n * W, :]
         return jnp.sum(flat.reshape(flat.shape[:-2] + (n, W, nn)), axis=-3)
 
-    def _mul_columns(self, a, b):
+    def _mul_columns_skew(self, a, b):
         """Column sums of the limb product a·b — one f32 skew-sum, exact
         (products ≤ 255² and column sums ≤ L8·255² ≈ 3.12e6 < 2^24)."""
         prods = a[..., :, None, :] * b[..., None, :, :]  # (..., L8, L8, N)
         return self._skew_sum(prods, 2 * self.L8)
+
+    #: f32 sublane tile — outer shifts in the grouped schoolbook are
+    #: multiples of this, which Mosaic lays out without cross-tile shuffles
+    _SUBLANE = 8
+
+    def _mul_columns(self, a, b):
+        if _SCHOOLBOOK == "skew":            # A/B knob, scratch/tpu_lmul.py
+            return self._mul_columns_skew(a, b)
+        return self._mul_columns_grouped(a, b)
+
+    def _mul_columns_grouped(self, a, b):
+        """Column sums of the limb product a·b — aligned-group shift-FMA.
+
+        Write the limb index i = 8·j + r.  Then
+            T = Σ_j shift_up( Σ_r shift_up(b, r) · a_{8j+r},  8·j )
+        The r-shifts build 8 pre-shifted copies of b ONCE (not per limb),
+        and every outer shift is a multiple of the f32 sublane tile. This
+        replaces the skew-sum's (L8, 2·L8+1, N) pad/flatten/re-split
+        intermediate — the single hottest part of the lmul kernel (~60 %
+        of its time, PROFILE.md r5) and its dominant VMEM transient
+        (~9.9 MB at TILE=512) — with (L8+7, N)-sized terms.  Exactness:
+        products ≤ 256², group sums ≤ 8·256² ≈ 5.2e5, total columns
+        ≤ L8·256² ≈ 3.2e6 < 2^24, all exact in f32."""
+        G = self._SUBLANE
+        L = self.L8
+        W = 2 * L
+        a, b = jnp.broadcast_arrays(a, b)
+        pad = [(0, 0)] * (b.ndim - 2) + [(0, G - 1), (0, 0)]
+        bw = jnp.pad(b, pad)                             # (..., L8+7, N)
+        brs = [bw if r == 0 else self._shift_up(bw, r) for r in range(G)]
+        out = None
+        for j in range((L + G - 1) // G):
+            g = None
+            for r in range(G):
+                i = G * j + r
+                if i >= L:
+                    break
+                ai = jax.lax.slice_in_dim(a, i, i + 1, axis=-2)  # (..,1,N)
+                term = brs[r] * ai
+                g = term if g is None else g + term
+            keep = min(L + G - 1, W - G * j)             # clip final group
+            g = jax.lax.slice_in_dim(g, 0, keep, axis=-2)
+            gpad = [(0, 0)] * (g.ndim - 2) + [(G * j, W - keep - G * j),
+                                              (0, 0)]
+            gp = jnp.pad(g, gpad)
+            out = gp if out is None else out + gp
+        return out
 
     def _const_mul(self, mat, x):
         """MXU contraction Σ_j mat[k, j]·x[..., j, :] with bf16-exact
