@@ -303,33 +303,56 @@ def stage_ntt(log_n: int) -> dict:
     jntt._ensure_tables(log_n, False)
     jntt._ensure_tables(log_n, True)
     tabs = jntt._collect_tables(log_n, False)
+    tabs_i = jntt._collect_tables(log_n, True)
     key = jax.random.PRNGKey(11 + log_n)
     ngen = min(n, 1 << 20)
     v = pn._uniform_fr(jax.random.fold_in(key, 0), (ngen,))
     if n > ngen:
         v = jnp.tile(v, (n // ngen, 1))
 
-    def chain(k):
+    # ONE compiled program per direction: the chain length k is a TRACED
+    # argument (fori_loop → while_loop), so k=1 and k=khi share a compile
+    # and the roundtrip check reuses the same two programs — at 2^22 each
+    # compile is minutes through the axon remote-compile path, and the r4/r5
+    # shape (chain(1), chain(khi), ntt, intt = 4 programs) blew the stage
+    # budget on compiles alone.
+    from zkp_subnet_tpu.utils import oracle as o
+
+    def chain(inverse, ctabs):
+        # _ntt_batched8 is UNSCALED; the inverse chain applies the same 1/n
+        # Montgomery constant per transform as ops/ntt._ntt_jit does
+        if inverse:
+            n_inv = pow(n, o.R - 2, o.R) * FR.mont_r % o.R
+            c8 = l8.to_lane8(jnp.asarray(FR.to_limbs(n_inv))[None])
+
         @jax.jit
-        def f(v, tabs):
+        def f(v, ctabs, k):
             y8 = jnp.transpose(l8.to_lane8(v.reshape(-1, n, FR.L)),
                                (1, 2, 0))
-            z = jax.lax.fori_loop(
-                0, k, lambda i, z: jntt._ntt_batched8(z, False, tabs), y8)
+
+            def step(i, z):
+                z = jntt._ntt_batched8(z, inverse, ctabs)
+                if inverse:
+                    flat = z.reshape(l8.BFR.L8, -1)
+                    z = jntt._f8("mont_mul", flat, jnp.broadcast_to(
+                        c8, flat.shape)).reshape(z.shape)
+                return z
+
+            z = jax.lax.fori_loop(0, k, step, y8)
             return l8.from_lane8(jnp.transpose(z, (2, 0, 1)))
         return f
 
+    fwd = chain(False, tabs)
+    inv = chain(True, tabs_i)
     klo, khi = 1, (9 if log_n <= 18 else 5)
-    flo, fhi = chain(klo), chain(khi)
     t0 = time.time()
-    force(flo(v, tabs))
-    force(fhi(v, tabs))
+    force(fwd(v, tabs, klo))
     compile_s = time.time() - t0
-    tlo = min(time_once(flo, v, tabs) for _ in range(3))
-    thi = min(time_once(fhi, v, tabs) for _ in range(3))
+    tlo = min(time_once(fwd, v, tabs, klo) for _ in range(3))
+    thi = min(time_once(fwd, v, tabs, khi) for _ in range(3))
     med = (thi - tlo) / (khi - klo)
 
-    back = np.asarray(force(jntt.intt(jntt.ntt(v))))
+    back = np.asarray(force(inv(fwd(v, tabs, 1), tabs_i, 1)))
     if not (back == np.asarray(force(v))).all():
         raise SystemExit(f"SELF-CHECK FAILED: ntt 2^{log_n} roundtrip")
     log(f"ntt 2^{log_n}: roundtrip PASS, chained {med*1000:.2f} ms/"
@@ -522,7 +545,8 @@ def main() -> int:
     plan += [(f"msm_{lg}", 120, 600) for lg in MSM_SIZES if lg <= 16]
     plan += [(f"ntt_{lg}", 60, 420) for lg in NTT_SIZES if lg <= 16]
     plan += [("field_layouts", 60, 420)]
-    plan += [(f"ntt_{lg}", 60, 420) for lg in NTT_SIZES if lg > 16]
+    plan += [(f"ntt_{lg}", 60, 480 if lg <= 20 else 600)
+             for lg in NTT_SIZES if lg > 16]
     plan += [(f"msm_{lg}", 120 + 30 * max(0, lg - 16),
               700 if lg <= 20 else 1000)
              for lg in MSM_SIZES if lg > 16]

@@ -12,15 +12,21 @@ import os
 os.environ.setdefault("XLA_FLAGS",
                       "--xla_force_host_platform_device_count=8")
 
-# KNOWN ISSUE (r4): running the WHOLE suite in one process segfaults
-# XLA:CPU while compiling pianist.fft in tests/test_parallel.py —
-# deterministic at the same test, yet every module passes alone and in
-# pairs (test_msm+test_parallel verified), i.e. some earlier module's
-# native compile corrupts jaxlib state. Until the jaxlib bug is isolated,
-# run test_parallel in its own process:
-#   pytest tests/ -q --ignore=tests/test_parallel.py && \
+# KNOWN ISSUE (r4, reconfirmed r5): a long single-process XLA:CPU run
+# segfaults on whatever fresh jit compile comes after ~25 min of
+# accumulated native compiles — deterministic at the same suite position,
+# yet every module passes alone and in pairs (test_msm+test_parallel
+# verified), i.e. some earlier module's native compile corrupts jaxlib
+# state. First seen at pianist.fft in tests/test_parallel.py (r4); r5
+# reproduced the same signature at test_pianist's first prove compile
+# with test_parallel already excluded. Until the jaxlib bug is isolated,
+# split the suite at the observed corruption boundary:
+#   pytest tests/ -q --ignore=tests/test_parallel.py \
+#       --ignore=tests/test_pianist.py && \
+#   pytest tests/test_pianist.py -q && \
 #   pytest tests/test_parallel.py -q
-# (CI does exactly this; see .github/workflows/ci.yml.)
+# (CI does exactly this; see .github/workflows/ci.yml. Standalone repro:
+# scratch/repro_xlacpu_fullsuite_segfault.sh.)
 
 import jax
 

@@ -177,3 +177,32 @@ def test_mesh_transport_rejects_corrupted_shard(srs, sharded, mesh):
     # one response fails the pairing check, the rest score > 0
     assert (rewards > 0).sum() == M - 1
     assert (rewards == 0.0).sum() == 1
+
+
+# -- streaming SRS generation (lives HERE, not test_pianist.py: this module
+# -- already runs in its own pytest process — see tests/conftest.py KNOWN
+# -- ISSUE — and generate_to_disk's fresh jits trigger the same one-process
+# -- XLA:CPU compile segfault when run late in the main suite) -------------
+
+
+def test_srs_generate_to_disk_parity(srs, tmp_path):
+    """Streaming mainnet-path generation (Srs.generate_to_disk) produces
+    bit-identical artifacts to in-memory generate + save at the same seed —
+    the scale-24/8 code path validated at toy scale."""
+    from tests.conftest import TEST_SCALE, TEST_SRS_SEED
+    from zkp_subnet_tpu.models.srs import Srs
+    from zkp_subnet_tpu.utils import oracle as o
+
+    sp = str(tmp_path / "setup_s.npz")
+    pp = str(tmp_path / "precompute_s.npz")
+    Srs.generate_to_disk(TEST_SCALE, TEST_MACHINES_SCALE, sp, pp,
+                         seed=TEST_SRS_SEED)
+    assert (tmp_path / "precompute_s.npz.bases.npy").exists()  # sidecar
+    loaded = Srs.load(sp, pp, lazy=True)
+    # srs fixture used generate(seed=TEST_SRS_SEED): same taus -> same bases
+    assert (np.asarray(loaded.worker_bases) ==
+            np.asarray(srs.worker_bases)).all()
+    assert (np.asarray(loaded.g1_x) == np.asarray(srs.g1_x)).all()
+    assert (np.asarray(loaded.lagrange_y) == np.asarray(srs.lagrange_y)).all()
+    assert o.G2.to_affine(loaded.g2_tau_x) == o.G2.to_affine(srs.g2_tau_x)
+    assert o.G2.to_affine(loaded.g2_tau_y) == o.G2.to_affine(srs.g2_tau_y)

@@ -53,27 +53,6 @@ def test_srs_save_load(srs, tmp_path):
     assert o.G2.to_affine(loaded.g2_tau_x) == o.G2.to_affine(srs.g2_tau_x)
 
 
-def test_srs_generate_to_disk_parity(srs, tmp_path):
-    """Streaming mainnet-path generation (Srs.generate_to_disk) produces
-    bit-identical artifacts to in-memory generate + save at the same seed —
-    the scale-24/8 code path validated at toy scale."""
-    import numpy as np
-    sp = str(tmp_path / "setup_s.npz")
-    pp = str(tmp_path / "precompute_s.npz")
-    from tests.conftest import TEST_SRS_SEED
-    Srs.generate_to_disk(TEST_SCALE, TEST_MACHINES_SCALE, sp, pp,
-                         seed=TEST_SRS_SEED)
-    assert (tmp_path / "precompute_s.npz.bases.npy").exists()  # sidecar
-    loaded = Srs.load(sp, pp, lazy=True)
-    # srs fixture used generate(seed=TEST_SRS_SEED): same taus -> same bases
-    assert (np.asarray(loaded.worker_bases) ==
-            np.asarray(srs.worker_bases)).all()
-    assert (np.asarray(loaded.g1_x) == np.asarray(srs.g1_x)).all()
-    assert (np.asarray(loaded.lagrange_y) == np.asarray(srs.lagrange_y)).all()
-    assert o.G2.to_affine(loaded.g2_tau_x) == o.G2.to_affine(srs.g2_tau_x)
-    assert o.G2.to_affine(loaded.g2_tau_y) == o.G2.to_affine(srs.g2_tau_y)
-
-
 def test_worker_commit_open_verify(srs, challenge):
     rows, alpha = challenge
     i = 1

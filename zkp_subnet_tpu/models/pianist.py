@@ -55,13 +55,13 @@ from . import kzg
 def worker_commit(srs: Srs, i: int, row: jnp.ndarray,
                   window_bits=None) -> jnp.ndarray:
     """Commitment of worker i's row (coefficients, Montgomery form)."""
-    return kzg.commit(srs.worker_bases[i], row, window_bits)
+    return kzg.commit(srs.device_worker_bases(i), row, window_bits)
 
 
 def worker_open(srs: Srs, i: int, row: jnp.ndarray, x: jnp.ndarray,
                 window_bits=None):
     """(f_i(x), W_i) for worker i; x (L,) Montgomery."""
-    return kzg.open_(srs.worker_bases[i], row, x, window_bits)
+    return kzg.open_(srs.device_worker_bases(i), row, x, window_bits)
 
 
 def worker_verify(srs: Srs, i: int, proof, alpha: int, eval_: int,
