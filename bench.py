@@ -310,15 +310,15 @@ def stage_ntt(log_n: int) -> dict:
     if n > ngen:
         v = jnp.tile(v, (n // ngen, 1))
 
-    # ONE compiled program per direction: the chain length k is a TRACED
-    # argument (fori_loop → while_loop), so k=1 and k=khi share a compile
-    # and the roundtrip check reuses the same two programs — at 2^22 each
-    # compile is minutes through the axon remote-compile path, and the r4/r5
-    # shape (chain(1), chain(khi), ntt, intt = 4 programs) blew the stage
-    # budget on compiles alone.
+    # THREE compiled programs total: fwd-chain at k=1 and k=khi, plus one
+    # inverse chain at k=1 for the roundtrip check (the r4/r5 shape also
+    # compiled standalone ntt+intt — 4 programs — and blew the 2^22 stage
+    # budget on remote compiles alone). The chain length k stays a STATIC
+    # fori_loop bound: a traced-k while_loop variant measured 1.8–4.5×
+    # slower transforms at 2^20/2^22 (XLA can't specialize the loop body).
     from zkp_subnet_tpu.utils import oracle as o
 
-    def chain(inverse, ctabs):
+    def chain(inverse, k):
         # _ntt_batched8 is UNSCALED; the inverse chain applies the same 1/n
         # Montgomery constant per transform as ops/ntt._ntt_jit does
         if inverse:
@@ -326,7 +326,7 @@ def stage_ntt(log_n: int) -> dict:
             c8 = l8.to_lane8(jnp.asarray(FR.to_limbs(n_inv))[None])
 
         @jax.jit
-        def f(v, ctabs, k):
+        def f(v, ctabs):
             y8 = jnp.transpose(l8.to_lane8(v.reshape(-1, n, FR.L)),
                                (1, 2, 0))
 
@@ -342,17 +342,21 @@ def stage_ntt(log_n: int) -> dict:
             return l8.from_lane8(jnp.transpose(z, (2, 0, 1)))
         return f
 
-    fwd = chain(False, tabs)
-    inv = chain(True, tabs_i)
-    klo, khi = 1, (9 if log_n <= 18 else 5)
+    # khi must drown the per-call noise: at ≥2^20 one forced call costs
+    # 2–3 s of transfer/RTT with ±100s-of-ms jitter, so delta/(khi−1) at
+    # khi=5 scattered 107→303 ms across fresh processes (r5 log); longer
+    # chains put multiple seconds of pure device time behind each call.
+    klo, khi = 1, (9 if log_n <= 18 else (17 if log_n <= 20 else 9))
+    flo, fhi = chain(False, klo), chain(False, khi)
     t0 = time.time()
-    force(fwd(v, tabs, klo))
+    force(flo(v, tabs))
+    force(fhi(v, tabs))
     compile_s = time.time() - t0
-    tlo = min(time_once(fwd, v, tabs, klo) for _ in range(3))
-    thi = min(time_once(fwd, v, tabs, khi) for _ in range(3))
+    tlo = min(time_once(flo, v, tabs) for _ in range(3))
+    thi = min(time_once(fhi, v, tabs) for _ in range(3))
     med = (thi - tlo) / (khi - klo)
 
-    back = np.asarray(force(inv(fwd(v, tabs, 1), tabs_i, 1)))
+    back = np.asarray(force(chain(True, klo)(flo(v, tabs), tabs_i)))
     if not (back == np.asarray(force(v))).all():
         raise SystemExit(f"SELF-CHECK FAILED: ntt 2^{log_n} roundtrip")
     log(f"ntt 2^{log_n}: roundtrip PASS, chained {med*1000:.2f} ms/"
