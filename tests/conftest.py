@@ -27,6 +27,13 @@ os.environ.setdefault("XLA_FLAGS",
 #   pytest tests/test_parallel.py -q
 # (CI does exactly this; see .github/workflows/ci.yml. Standalone repro:
 # scratch/repro_xlacpu_fullsuite_segfault.sh.)
+#
+# The boundary is BOX-DEPENDENT, not positional: on a cold-cache machine
+# the fast set alone can cross the ~25-min accumulated-compile threshold
+# (observed end of r5: segfault inside test_oracle at ~35 min, with
+# every module passing in fresh processes immediately after). If the
+# split above still segfaults for you, split further — any partition
+# into fresh processes passes.
 
 import jax
 

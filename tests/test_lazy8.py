@@ -133,6 +133,19 @@ def test_g19_seq_matches_stacked(rng):
     assert (c == d).all()
 
 
+def test_g19_wide_matches_stacked(rng):
+    """The lane-batched wide add (concatenated layers, the launch-count
+    A/B form behind pallas_g1.WIDE_MAX) is bit-identical to the layer-
+    stacked and sequential versions — same ops per lane, only batched
+    along the lane axis."""
+    enc_p, _ = _rand_points(rng, 4)
+    enc_q, _ = _rand_points(rng, 4)
+    lp, lq = lz.pts_to_lane9(enc_p), lz.pts_to_lane9(enc_q)
+    a = np.asarray(jax.block_until_ready(lz.g19_add(lp, lq)))
+    b = np.asarray(jax.block_until_ready(lz.g19_add_wide(lp, lq)))
+    assert (a == b).all()
+
+
 def test_g19_long_chain_stability(rng):
     """A 64-deep add/double ladder (the MSM scan regime): digits stay
     bounded and the point stays right."""

@@ -332,6 +332,58 @@ def g19_add_seq(p, q, F=None):
     return _pack(X3, Y3, Z3)
 
 
+def g19_add_wide(p, q, F=None):
+    """Complete RCB15 add, lane-axis-batched: bit-identical math to
+    g19_add / g19_add_seq, but every dependency layer's field ops are
+    CONCATENATED along the lane axis so the whole add is 8 field-op
+    launches (6n/6n/4n/3n/2n/3n/6n/3n wide) instead of g19_add_seq's 29
+    launches of width n.
+
+    Built for the MSM scan regime (ops/msm.py): at the scan's W·T = 8k
+    lane width the per-op Pallas kernels are LAUNCH-bound (~0.1 ms fixed
+    per launch vs ~0.05 ms of lane work — pallas_g1.CANONS note), so with
+    F = pallas_g1.op_lazy_field() the 3.6× launch-count cut is nearly a
+    3× scan-step cut; the +14 % lane-volume overhead (33n vs 29n) only
+    matters at widths ≥ 64k where g19_add_seq should be used instead
+    (pallas_g1.dispatch_ladd picks by width). Negations ride the signed
+    digits for free, so the subtract layers merge into add launches."""
+    F = ZFQ if F is None else F
+    p, q = jnp.broadcast_arrays(p, q)
+    X1, Y1, Z1 = _unpack(p)
+    X2, Y2, Z2 = _unpack(q)
+    mul, add, sub, neg = F.mont_mul, F.add, F.sub, F.neg
+    n = X1.shape[-1]
+
+    def cat(*xs):
+        return jnp.concatenate(xs, axis=-1)
+
+    def split(a, k):
+        return [jax.lax.slice_in_dim(a, i * n, (i + 1) * n, axis=-1)
+                for i in range(k)]
+
+    ab = add(cat(X1, Y1, X1, X2, Y2, X2),
+             cat(Y1, Z1, Z1, Y2, Z2, Z2))
+    a1, a3, a5, a2, a4, a6 = split(ab, 6)
+    m = mul(cat(X1, Y1, Z1, a1, a3, a5),
+            cat(X2, Y2, Z2, a2, a4, a6))
+    t0, t1, t2, p1, p2, p3 = split(m, 6)
+    s = add(cat(t0, t1, t0, t0), cat(t1, t2, t2, t0))
+    s1, s2, s3, dbl0 = split(s, 4)
+    d = sub(cat(p1, p2, p3), cat(s1, s2, s3))
+    t3, t4, ty = split(d, 3)
+    b3 = jnp.broadcast_to(F.b3_col, t2.shape)
+    mb = mul(cat(t2, ty), cat(b3, b3))
+    t2b, y3b = split(mb, 2)
+    za = add(cat(t1, dbl0, t1), cat(t2b, t0, neg(t2b)))
+    z3t, t0t, t1t = split(za, 3)
+    w = mul(cat(t3, t4, y3b, t1t, z3t, t0t),
+            cat(t1t, y3b, t0t, z3t, t4, t3))
+    w0, w1, w2, w3, w4, w5 = split(w, 6)
+    fin = add(cat(w0, w2, w4), cat(neg(w1), w3, w5))
+    X3, Y3, Z3 = split(fin, 3)
+    return _pack(X3, Y3, Z3)
+
+
 def g19_double_seq(p, F=None):
     """Complete RCB15 doubling, sequential muls."""
     F = ZFQ if F is None else F

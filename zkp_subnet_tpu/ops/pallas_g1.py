@@ -53,6 +53,11 @@ TILE = int(__import__("os").environ.get("ZKP_PALLAS_TILE", "512"))
 #: within one launch stream at DMA speed — a 64k-lane op as one launch of
 #: grid 256 is ~8× cheaper than 8 launches of grid 32 (r5 measurement:
 #: lazy MSM stayed at 2.7 s because the scan was launch-bound).
+#: (when enabling the wide lane-batched add below — ZKP_LAZY_WIDE_MAX —
+#: add its 49152/32768/24576/16384 rungs here so each concatenated layer
+#: of 6n/4n/3n/2n lanes at the scan's n = 8192 is ONE launch instead of
+#: a lax.map over 8k slabs; only widths actually used compile, 3-4 s
+#: each. It measured net-negative, so the default ladder stays minimal.)
 CANONS = tuple(int(s) for s in __import__("os").environ.get(
     "ZKP_PALLAS_CANONS", "65536,8192").split(","))
 CANON = CANONS[-1]      # smallest: the alignment quantum for dispatch
@@ -310,11 +315,25 @@ def dispatch_pdouble(p):
     return l8.g18_double(p)
 
 
+#: widths up to this run the lane-batched wide add (8 launches of 2n-6n
+#: lanes, lazy8.g19_add_wide) instead of the 29-launch sequential form.
+#: MEASURED NEGATIVE at the MSM scan width (oracle-checked bench.py
+#: --stage msm_16: 261 ms wide vs 246 ms seq): the concatenate/slice
+#: copies around each launch (~106 MB/step of pure HBM moves) cost more
+#: than the launches they merge — per-op launches evidently pipeline
+#: behind each other, so the "~0.1 ms fixed per launch" is NOT serialized
+#: per op. Default off; kept as the A/B knob that documents this.
+WIDE_MAX = int(__import__("os").environ.get("ZKP_LAZY_WIDE_MAX", "0"))
+
+
 def dispatch_ladd(p, q):
-    """Lazy-engine add: fused per-op kernels at aligned widths, stacked
+    """Lazy-engine add: fused per-op kernels at aligned widths (lane-
+    batched wide form when narrow enough to be launch-bound), stacked
     XLA-graph formulas otherwise (CPU tests, narrow tails)."""
     from . import lazy8 as lz
     if aligned(p.shape[-1]) and p.shape == q.shape and p.ndim == 3:
+        if p.shape[-1] <= WIDE_MAX:
+            return lz.g19_add_wide(p, q, F=op_lazy_field())
         return lz.g19_add_seq(p, q, F=op_lazy_field())
     return lz.g19_add(p, q)
 
