@@ -143,6 +143,20 @@ def _f8(op: str, *args):
     return getattr(l8.BFR, op)(*args)
 
 
+def _bfly8(even: jnp.ndarray, odd: jnp.ndarray,
+           wf: jnp.ndarray) -> jnp.ndarray:
+    """One DIT butterfly layer on (L8, N) lanes → stacked (2, L8, N)
+    [even + odd·w, even − odd·w]: ONE fused kernel launch at aligned
+    widths on TPU (pallas_g1.pbutterfly — 5 array passes per stage
+    instead of 9), the XLA-graph byte engine otherwise."""
+    from . import lane8 as l8
+    from . import pallas_g1 as pg
+    if pg.aligned(even.shape[-1]):
+        return pg.pbutterfly(l8.BFR, even, odd, wf)
+    t = l8.BFR.mont_mul(odd, wf)
+    return jnp.stack([l8.BFR.add(even, t), l8.BFR.sub(even, t)])
+
+
 def _ntt_base8(v: jnp.ndarray, tw8: jnp.ndarray) -> jnp.ndarray:
     """Direct DIT NTT. v: (L8, n, R) — n the transform, R the batch on
     lanes; tw8: (L8, n/2). Every butterfly is (n/2)·R lanes wide."""
@@ -165,10 +179,10 @@ def _ntt_base8(v: jnp.ndarray, tw8: jnp.ndarray) -> jnp.ndarray:
         odd = v4[:, :, half:]
         wf = jnp.broadcast_to(
             w[:, None, :, None], odd.shape).reshape(L8, -1)
-        t = _f8("mont_mul", odd.reshape(L8, -1), wf)
-        a = _f8("add", even, t).reshape(L8, n // m, half, R)
-        b = _f8("sub", even, t).reshape(L8, n // m, half, R)
-        v = jnp.concatenate([a, b], axis=2).reshape(L8, n, R)
+        ab = _bfly8(even, odd.reshape(L8, -1), wf)   # (2, L8, half·…)
+        # stage layout: position j < half ← ab[0], j ≥ half ← ab[1]
+        v = jnp.transpose(ab.reshape(2, L8, n // m, half, R),
+                          (1, 2, 0, 3, 4)).reshape(L8, n, R)
     return v
 
 

@@ -213,6 +213,50 @@ def pfield(op: str, F, *args):
     return fn(*args)
 
 
+_BFLY_CALLS = {}
+
+
+def pbutterfly(F, even, odd, w):
+    """Fused DIT butterfly: t = odd·w; returns stacked (2, L8, N) with
+    [0] = even + t and [1] = even − t — ONE kernel launch and one HBM
+    round trip instead of the three separate mont_mul/add/sub passes
+    (each butterfly stage of ops/ntt.py reads/writes the full (L8, N)
+    operands per op; fusing cuts the stage's array passes 9 → 5, the
+    per-field-op HBM boundary the PROFILE.md roofline names as the NTT's
+    gap). Bit-identical math: the same ByteLaneField ops composed in
+    VMEM instead of through HBM."""
+    key = (F.base.name, F.L8)
+    fn = _BFLY_CALLS.get(key)
+    if fn is None:
+        nconst = len(F.CONST_NAMES)
+
+        def kernel(*refs):
+            Fv = F.kernel_view(*(r[:] for r in refs[:nconst]))
+            e_ref, o_ref, w_ref, out_ref = refs[nconst:]
+            e = e_ref[:]
+            t = Fv.mont_mul(o_ref[:], w_ref[:])
+            out_ref[0, :, :] = Fv.add(e, t)
+            out_ref[1, :, :] = Fv.sub(e, t)
+
+        cspecs = [pl.BlockSpec(c.shape, functools.partial(_zero_idx, c.ndim))
+                  for c in F.const_args()]
+
+        def call1(canon, *xs):
+            spec = pl.BlockSpec((F.L8, TILE), lambda i: (0, i))
+            ospec = pl.BlockSpec((2, F.L8, TILE), lambda i: (0, 0, i))
+            return pl.pallas_call(
+                kernel,
+                grid=(_lane_tiles(canon),),
+                in_specs=cspecs + [spec] * 3,
+                out_specs=ospec,
+                out_shape=jax.ShapeDtypeStruct((2,) + xs[0].shape,
+                                               jnp.float32),
+            )(*F.const_args(), *xs)
+
+        fn = _BFLY_CALLS[key] = jax.jit(_slabbed(call1))
+    return fn(even, odd, w)
+
+
 class OpPallasField:
     """A ByteLaneField facade whose mul/add/sub each run as ONE fused
     pfield kernel — the op-granularity alternative to the whole-point
