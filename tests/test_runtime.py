@@ -266,6 +266,49 @@ def test_client_api(rig):
                              _corrupt_b64(proof), index=0)
 
 
+def test_ping_and_discovery(rig):
+    """Availability probe + query-node discovery (reference:
+    api/get_query_axons.py): pings are answered instantly with no device
+    work, dead uids fail, and discovery pins the fan-out pool to
+    ping-reachable top-score workers (cold-start falls back to the whole
+    pool instead of the reference's empty-set deadlock)."""
+    import asyncio
+    from zkp_subnet_tpu.api import get_query_uids, ping_uids
+
+    coord, workers, challenge, _ = rig
+    transport = LocalTransport(workers)
+
+    # worker-side ping fast path: empty poly → immediate stripped 200
+    pong = workers[0].forward(Prove(index=-1, poly=[]))
+    assert pong.status_code == 200 and pong.commitment is None
+    assert pong.process_time == 0.0
+
+    ok, bad = asyncio.run(ping_uids(transport, list(range(M)) + [M + 7],
+                                    timeout=5.0))
+    assert ok == list(range(M))
+    assert bad == [M + 7]                        # unknown worker → 404
+
+    saved_scores = coord.scores.copy()
+    # cold start (all scores zero): quantile filter must NOT empty the pool
+    coord.scores[:] = 0.0
+    uids = asyncio.run(get_query_uids(coord, transport, limit=2))
+    assert len(uids) == 2 and all(u in range(M) for u in uids)
+
+    # scored: discovery returns only the top-quantile uid
+    coord.scores[:] = 0.1
+    coord.scores[1] = 0.9
+    uids = asyncio.run(get_query_uids(coord, transport, limit=2))
+    assert uids == [1]
+
+    # client integration: discover() pins the pool, commit still works
+    client = SubnetClient(coord, transport, sample_size=2)
+    assert client.discover() == [1]
+    assert client.commit(challenge.polys[0], index=0)
+    client.reset_pool()
+    assert client._query_uids is None
+    coord.scores[:] = saved_scores
+
+
 def test_reward_rejects_non_subgroup_point(rig):
     """A commitment outside the r-torsion must score 0.0 (the deserializer
     raises, the scoring path treats it as invalid)."""

@@ -1,5 +1,5 @@
 """Client-facing API (the clean version of the reference's api/ intent)."""
 
-from .client import SubnetClient
+from .client import SubnetClient, get_query_uids, ping_uids
 
-__all__ = ["SubnetClient"]
+__all__ = ["SubnetClient", "get_query_uids", "ping_uids"]

@@ -30,7 +30,7 @@ class Prove:
         """Parity with reference protocol.py:62-63 (returns self)."""
         return self
 
-    def response(self, eval_: Optional[str], commitment: str,
+    def response(self, eval_: Optional[str], commitment: Optional[str],
                  proof: Optional[str]) -> "Prove":
         """Build the stripped response (reference: neurons/miner.py:119-128)."""
         return Prove(index=self.index, poly=[], alpha=self.alpha,

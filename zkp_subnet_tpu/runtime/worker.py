@@ -114,7 +114,16 @@ class Worker:
         ``commit``, reference intent api/commit.py): the same fused program
         runs with a dummy point and the opening outputs are dropped, so no
         extra program shape is ever compiled.
+
+        An EMPTY ``poly`` is a ping (the reference's availability probe is
+        an empty ``bt.Synapse()`` the axon answers 200 without reaching the
+        miner, api/get_query_axons.py:46-87): answered immediately, no
+        device work, so discovery can't queue behind a prove.
         """
+        if not synapse.poly:
+            out = synapse.response(eval_=None, commitment=None, proof=None)
+            out.process_time = 0.0
+            return out
         try:
             t0 = time.perf_counter()
             row = FR.to_mont(jnp.asarray(enc.b64_to_limbs(synapse.poly)))
